@@ -1,0 +1,116 @@
+# -*- coding: utf-8 -*-
+"""English date/time verbalization.
+
+Capability parity with the reference's ``normalization/en/chronology.py``
+(reference: src/illufly_tts/core/normalization/en/chronology.py:79-397):
+12h clock with am/pm -> "in the morning/afternoon/evening", month/day/year
+US-style and ISO dates, year readings (nineteen-XX / twenty-XX /
+two-thousand-X), date ranges, and ordinal day names.
+"""
+from __future__ import annotations
+
+import re
+
+from .num import num_to_words, verbalize_number, verbalize_ordinal
+
+MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
+_MONTH_ALT = "|".join(MONTHS)
+
+RE_TIME = re.compile(
+    r"\b([0-1]?\d|2[0-3]):([0-5]\d)(?::([0-5]\d))?\s*"
+    r"(AM|PM|am|pm|a\.m\.|p\.m\.)?\b"
+)
+RE_DATE_MDY = re.compile(
+    rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(st|nd|rd|th)?(?:\s*,\s*|\s+)(\d{{4}})\b",
+    re.IGNORECASE,
+)
+RE_DATE_MD = re.compile(
+    rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(st|nd|rd|th)\b", re.IGNORECASE
+)
+RE_DATE_ISO = re.compile(r"\b(\d{4})[-/](0?[1-9]|1[0-2])[-/](0?[1-9]|[12]\d|3[01])\b")
+RE_YEAR = re.compile(r"\b([12]\d{3})\b")
+RE_YEAR_RANGE = re.compile(r"\b([12]\d{3})\s*[-~]\s*([12]\d{3})\b")
+
+
+def verbalize_year(year: int) -> str:
+    """Read a year the natural English way (1368 -> thirteen sixty eight)."""
+    if year < 1000 or year > 2999:
+        return verbalize_number(year)
+    century, rest = divmod(year, 100)
+    if rest == 0:
+        return f"{verbalize_number(century)} hundred"
+    if 2000 <= year <= 2009:
+        return "two thousand " + verbalize_number(rest)
+    if rest < 10:
+        return f"{verbalize_number(century)} oh {verbalize_number(rest)}"
+    return f"{verbalize_number(century)} {verbalize_number(rest)}"
+
+
+def replace_time(match: re.Match) -> str:
+    hour = int(match.group(1))
+    minute = int(match.group(2))
+    second = match.group(3)
+    meridiem = (match.group(4) or "").lower().replace(".", "")
+
+    suffix = ""
+    if meridiem == "am":
+        suffix = " in the morning"
+    elif meridiem == "pm":
+        suffix = " in the evening" if hour >= 6 and hour != 12 else " in the afternoon"
+
+    spoken_hour = hour % 12 or 12 if meridiem else hour
+    parts = [verbalize_number(spoken_hour)]
+    if minute == 0:
+        if meridiem:
+            pass  # "ten in the morning"
+        else:
+            parts.append("o'clock")
+    elif minute < 10:
+        parts.append("oh " + verbalize_number(minute))
+    else:
+        parts.append(verbalize_number(minute))
+    if second:
+        parts.append("and " + verbalize_number(int(second)) + " seconds")
+    return " ".join(parts) + suffix
+
+
+def replace_date_mdy(match: re.Match) -> str:
+    month = match.group(1).capitalize()
+    day = verbalize_ordinal(int(match.group(2)))
+    year = verbalize_year(int(match.group(4)))
+    return f"{month} {day} {year}"
+
+
+def replace_date_md(match: re.Match) -> str:
+    month = match.group(1).capitalize()
+    day = verbalize_ordinal(int(match.group(2)))
+    return f"{month} {day}"
+
+
+def replace_date_iso(match: re.Match) -> str:
+    year = verbalize_year(int(match.group(1)))
+    month = MONTHS[int(match.group(2)) - 1]
+    day = verbalize_ordinal(int(match.group(3)))
+    return f"{month} {day} {year}"
+
+
+def replace_year(match: re.Match) -> str:
+    return verbalize_year(int(match.group(1)))
+
+
+def replace_year_range(match: re.Match) -> str:
+    return (
+        f"{verbalize_year(int(match.group(1)))} to "
+        f"{verbalize_year(int(match.group(2)))}"
+    )
+
+
+__all__ = [
+    "RE_TIME", "RE_DATE_MDY", "RE_DATE_MD", "RE_DATE_ISO", "RE_YEAR",
+    "RE_YEAR_RANGE", "replace_time", "replace_date_mdy", "replace_date_md",
+    "replace_date_iso", "replace_year", "replace_year_range",
+    "verbalize_year", "verbalize_ordinal", "num_to_words",
+]

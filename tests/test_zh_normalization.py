@@ -1,0 +1,117 @@
+# -*- coding: utf-8 -*-
+"""Behavioral contract for Chinese text normalization.
+
+Mirrors the reference's normalization suite expectations
+(reference: tests/normalization/test_pipeline.py) at the zh-normalizer level.
+"""
+from illufly_tts_tpu.frontend.normalization.zh import ZhTextNormalizer
+from illufly_tts_tpu.frontend.normalization.zh.num import (
+    num2str,
+    verbalize_cardinal,
+    verbalize_digit,
+)
+
+
+def norm(text: str) -> str:
+    return "".join(ZhTextNormalizer().normalize(text))
+
+
+class TestNum:
+    def test_cardinals(self):
+        assert verbalize_cardinal("0") == "零"
+        assert verbalize_cardinal("7") == "七"
+        assert verbalize_cardinal("10") == "十"
+        assert verbalize_cardinal("14") == "十四"
+        assert verbalize_cardinal("25") == "二十五"
+        assert verbalize_cardinal("42") == "四十二"
+        assert verbalize_cardinal("100") == "一百"
+        assert verbalize_cardinal("105") == "一百零五"
+        assert verbalize_cardinal("999") == "九百九十九"
+        assert verbalize_cardinal("1234") == "一千二百三十四"
+        assert verbalize_cardinal("6400") == "六千四百"
+        assert verbalize_cardinal("7999") == "七千九百九十九"
+        assert verbalize_cardinal("10000") == "一万"
+        assert verbalize_cardinal("100001") == "十万零一"
+        assert verbalize_cardinal("100000001") == "一亿零一"
+        assert verbalize_cardinal("120000000") == "一亿二千万"
+
+    def test_decimal(self):
+        assert num2str("1234.56") == "一千二百三十四点五六"
+        assert num2str("85.5") == "八十五点五"
+        assert num2str("-3.2") == "负三点二"
+        assert num2str("9.5") == "九点五"
+
+    def test_digits(self):
+        assert verbalize_digit("2023") == "二零二三"
+        assert verbalize_digit("13812345678", alt_one=True) == "幺三八幺二三四五六七八"
+
+
+class TestZhNormalizer:
+    def test_date(self):
+        assert "二零二三年五月十日" in norm("今天是2023年5月10日，天气真好。")
+
+    def test_time(self):
+        result = norm("会议安排在2023年6月1日上午10:30开始。")
+        assert "二零二三年六月一日" in result
+        assert "十点三十分" in result or "十点半" in result
+
+    def test_temperature(self):
+        result = norm("气温25°C")
+        assert "气温二十五摄氏度" in result or "气温二十五度" in result
+        assert "零下五度" in norm("-5度")
+
+    def test_currency_amount(self):
+        result = norm("价格是1234.56元")
+        assert "一千二百三十四点五六" in result
+
+    def test_percent(self):
+        assert "百分之七十五" in norm("占比75%")
+        assert "百分之八十五点五" in norm("及格率为85.5%")
+        assert "百分之三点二" in norm("提高了3.2%")
+        assert "百分之五十" in norm("项目已完成50%")
+
+    def test_mobile(self):
+        assert "幺三八幺二三四五六七八" in norm("电话是13812345678。")
+
+    def test_400(self):
+        result = norm("请拨打客服电话400-123-4567。")
+        assert "四零零" in result
+        assert "幺二三" in result
+        assert "四五六七" in result
+
+    def test_fraction(self):
+        assert "三分之二" in norm("其中女生占比约为2/3。")
+
+    def test_quantifier(self):
+        assert "四十二名" in norm("这个班有42名学生")
+        assert "九百九十九元" in norm("现在降价到999元。")
+        assert "七千九百九十九元" in norm("售价为7999元")
+
+    def test_year_range(self):
+        result = norm("这个朝代从1644~1911年统治中国。")
+        assert "一六四四" in result
+        assert "一九一一" in result
+        assert "年" in result
+        result2 = norm("1368-1644年是明朝统治时期")
+        assert "一三六八" in result2
+        assert "一六四四年" in result2
+        assert "明朝统治时期" in result2
+
+    def test_measure(self):
+        result = norm("距离目标还有9.5km")
+        assert "九点五" in result
+        assert "千米" in result
+
+    def test_traditional(self):
+        assert norm("我們的夢想") == "我们的梦想"
+
+    def test_sentences_preserved(self):
+        result = norm("今天天气真好。明天可能会下雨！后天将会放晴？我们拭目以待。")
+        for part in ("今天天气真好", "明天可能会下雨", "后天将会放晴", "我们拭目以待"):
+            assert part in result
+
+    def test_empty(self):
+        assert ZhTextNormalizer().normalize("") == []
+
+    def test_range(self):
+        assert "三到五" in norm("大概3-5天")
