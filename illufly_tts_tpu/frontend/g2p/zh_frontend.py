@@ -1,0 +1,157 @@
+# -*- coding: utf-8 -*-
+"""Chinese frontend: segmentation -> pinyin -> sandhi -> erhua -> zhuyin.
+
+Fresh implementation of the capability surveyed from the reference's
+``ZHFrontend`` (reference: src/illufly_tts/core/g2p/zh_frontend.py:44-231):
+jieba POS segmentation, sandhi pre-merge, strict initial/final extraction
+(zi/ci/si -> ii, zhi/chi/shi -> iii, 嗯 -> n2), tone sandhi, erhua merge with
+must/not word lists, and a zhuyin phoneme string with '/' word separators.
+"""
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+import jieba.posseg as psg
+
+from .pinyin.engine import split_initial_final, word_pinyin
+from .tokens import MToken
+from .tone_sandhi import ToneSandhi
+from .zhuyin import syllable_to_zhuyin
+
+_CJK = re.compile(r"[一-鿿]")
+
+PUNCT = frozenset(';:,.!?—…"()“” ')
+
+MUST_ERHUA = {
+    "小院儿", "胡同儿", "范儿", "老头儿", "撒欢儿", "妥妥儿", "媳妇儿",
+    "一会儿", "一块儿", "一点儿", "有点儿", "这儿", "那儿", "哪儿",
+    "玩儿", "份儿", "劲儿", "味儿", "事儿", "活儿", "空儿", "门儿",
+}
+NOT_ERHUA = {
+    "虐儿", "为儿", "护儿", "救儿", "有儿", "一儿", "我儿", "妻儿",
+    "幼儿", "孤儿", "婴儿", "婴幼儿", "连体儿", "流浪儿", "混血儿",
+    "女儿", "男儿", "花儿", "虫儿", "马儿", "鸟儿", "猪儿", "猫儿",
+    "狗儿", "少儿", "患儿", "乞儿", "聋儿", "侄儿", "孙儿",
+}
+
+
+class ZHFrontend:
+    def __init__(self, unk: str = "❓"):
+        self.unk = unk
+        self.tone_modifier = ToneSandhi()
+
+    def _get_initials_finals(
+        self, word: str
+    ) -> Tuple[List[str], List[str]]:
+        initials: List[str] = []
+        finals: List[str] = []
+        for ch, py in zip(word, word_pinyin(word)):
+            if py is None:
+                initials.append(None)
+                finals.append(None)
+                continue
+            if ch == "嗯":
+                # pypinyin>=0.44 compatibility quirk kept by the reference
+                # (zh_frontend.py:100-103): 嗯 reads as n2.
+                initials.append("")
+                finals.append("n2")
+                continue
+            initial, final = split_initial_final(py)
+            if re.match(r"i\d", final):
+                if initial in ("z", "c", "s"):
+                    final = "ii" + final[1:]
+                elif initial in ("zh", "ch", "sh", "r"):
+                    final = "iii" + final[1:]
+            initials.append(initial)
+            finals.append(final)
+        return initials, finals
+
+    def _merge_erhua(
+        self,
+        initials: List[str],
+        finals: List[str],
+        word: str,
+        pos: str,
+    ) -> Tuple[List[str], List[str]]:
+        # standalone 儿 at word end reads er2 not er1
+        for i, phn in enumerate(finals):
+            if (
+                i == len(finals) - 1
+                and i < len(word)
+                and word[i] == "儿"
+                and phn == "er1"
+            ):
+                finals[i] = "er2"
+        if word not in MUST_ERHUA and (
+            word in NOT_ERHUA or pos in {"a", "j", "nr"}
+        ):
+            return initials, finals
+        if len(finals) != len(word):
+            return initials, finals
+        new_initials: List[str] = []
+        new_finals: List[str] = []
+        for i, phn in enumerate(finals):
+            if (
+                i == len(finals) - 1
+                and word[i] == "儿"
+                and phn in ("er2", "er5")
+                and word[-2:] not in NOT_ERHUA
+                and new_finals
+                and new_finals[-1]
+            ):
+                # merge: previous final gains an R before its tone digit
+                prev = new_finals[-1]
+                new_finals[-1] = prev[:-1] + "R" + prev[-1]
+            else:
+                new_initials.append(initials[i])
+                new_finals.append(phn)
+        return new_initials, new_finals
+
+    def __call__(self, text: str, with_erhua: bool = True):
+        tokens: List[MToken] = []
+        seg_cut = psg.lcut(text)
+        seg_cut = [(w, p) for w, p in seg_cut]
+        seg_cut = self.tone_modifier.pre_merge_for_modify(seg_cut)
+
+        for word, pos in seg_cut:
+            if pos == "x" and word and _CJK.match(min(word)) and _CJK.match(max(word)):
+                pos = "X"
+            elif pos != "x" and word in PUNCT:
+                pos = "x"
+            tk = MToken(text=word, tag=pos, whitespace="")
+            if pos in ("x", "eng"):
+                if not word.isspace():
+                    if pos == "x" and all(c in PUNCT for c in word):
+                        tk.phonemes = word
+                    tokens.append(tk)
+                elif tokens:
+                    tokens[-1].whitespace += word
+                continue
+            elif tokens and tokens[-1].tag not in ("x", "eng") \
+                    and not tokens[-1].whitespace:
+                tokens[-1].whitespace = "/"
+
+            initials, finals = self._get_initials_finals(word)
+            known = [f for f in finals if f is not None]
+            if len(known) == len(finals):
+                finals = self.tone_modifier.modified_tone(word, pos, finals)
+                if with_erhua:
+                    initials, finals = self._merge_erhua(
+                        initials, finals, word, pos
+                    )
+            phonemes = []
+            for c, v in zip(initials, finals):
+                if v is None:
+                    phonemes.append(self.unk)
+                    continue
+                zy = syllable_to_zhuyin(c or "", v)
+                phonemes.append(zy if zy else self.unk)
+            tk.phonemes = "".join(phonemes)
+            tokens.append(tk)
+
+        result = "".join(
+            (self.unk if tk.phonemes is None else tk.phonemes) + tk.whitespace
+            for tk in tokens
+        )
+        return result, tokens

@@ -1,0 +1,144 @@
+# -*- coding: utf-8 -*-
+"""G2P behavioral tests (zh pinyin engine, sandhi, zhuyin/IPA, en G2P)."""
+import pytest
+
+from illufly_tts_tpu.frontend.g2p.chinese_g2p import ChineseG2P
+from illufly_tts_tpu.frontend.g2p.en_g2p import EnglishG2P
+from illufly_tts_tpu.frontend.g2p.pinyin.engine import (
+    split_initial_final,
+    word_pinyin,
+)
+from illufly_tts_tpu.frontend.g2p.zhuyin import (
+    syllable_to_zhuyin,
+    zhuyin_syllable_to_pinyin,
+)
+
+
+class TestPinyinEngine:
+    def test_basic_words(self):
+        assert word_pinyin("你好") == ["ni3", "hao3"]
+        assert word_pinyin("中国") == ["zhong1", "guo2"]
+        assert word_pinyin("测试") == ["ce4", "shi4"]
+
+    def test_polyphones(self):
+        assert word_pinyin("银行") == ["yin2", "hang2"]
+        assert word_pinyin("行为") == ["xing2", "wei2"]
+        assert word_pinyin("音乐") == ["yin1", "yue4"]
+        assert word_pinyin("快乐") == ["kuai4", "le4"]
+        assert word_pinyin("睡觉") == ["shui4", "jiao4"]
+        assert word_pinyin("觉得") == ["jue2", "de5"]
+        assert word_pinyin("地方") == ["di4", "fang5"]
+        assert word_pinyin("头发") == ["tou2", "fa4"]
+        assert word_pinyin("发现") == ["fa1", "xian4"]
+
+    def test_strict_finals(self):
+        assert split_initial_final("liu2") == ("l", "iou2")
+        assert split_initial_final("dui4") == ("d", "uei4")
+        assert split_initial_final("lun4") == ("l", "uen4")
+        assert split_initial_final("jun1") == ("j", "vn1")
+        assert split_initial_final("yuan2") == ("", "van2")
+        assert split_initial_final("wen2") == ("", "uen2")
+        assert split_initial_final("yan2") == ("", "ian2")
+        assert split_initial_final("qu4") == ("q", "v4")
+
+
+class TestZhuyin:
+    @pytest.mark.parametrize(
+        "initial,final",
+        [("l", "iou2"), ("zh", "i4"), ("", "uo3"), ("j", "van4"),
+         ("sh", "iii4"), ("z", "ii4"), ("", "er2"), ("h", "aoR3")],
+    )
+    def test_roundtrip(self, initial, final):
+        zy = syllable_to_zhuyin(initial, final)
+        assert zy
+        parsed = zhuyin_syllable_to_pinyin(zy)
+        assert parsed is not None
+        back_i, back_f = parsed
+        # ii/iii spelling recoverable from the initial
+        norm = final.replace("iii", "ii") if initial in ("z", "c", "s") else final
+        assert back_i == initial
+        assert back_f == norm or back_f == final
+
+
+class TestChineseG2P:
+    @pytest.fixture(scope="class")
+    def g2p(self):
+        return ChineseG2P()
+
+    def test_smoke(self, g2p):
+        ph = g2p.text_to_phonemes("你好，这是一个测试。")
+        assert "ㄋㄧ2ㄏㄠ3" in ph  # 你好: 3-3 sandhi -> 2-3
+        ipa = g2p.convert_to_ipa(ph)
+        assert "ni↗" in ipa
+        assert "xau↓" in ipa
+
+    def test_yi_sandhi(self, g2p):
+        # 一个: yi2 before tone4
+        ph = g2p.text_to_phonemes("一个")
+        assert "ㄧ2" in ph
+        # 一天: yi4 before tone1
+        ph2 = g2p.text_to_phonemes("一天")
+        assert "ㄧ4" in ph2
+
+    def test_bu_sandhi(self, g2p):
+        ph = g2p.text_to_phonemes("不是")
+        assert "ㄅㄨ2" in ph
+        ph2 = g2p.text_to_phonemes("不想")
+        assert "ㄅㄨ4" in ph2
+
+    def test_neutral_tone(self, g2p):
+        ph = g2p.text_to_phonemes("妈妈")
+        assert "ㄇㄚ1ㄇㄚ5" in ph
+
+    def test_erhua(self, g2p):
+        ph = g2p.text_to_phonemes("玩儿")
+        assert "ㄨㄢㄦ" in ph
+
+    def test_punctuation_mapping(self, g2p):
+        ph = g2p.text_to_phonemes("好。")
+        assert "." in ph
+
+    def test_mixed_english_callback(self):
+        en = EnglishG2P()
+        g = ChineseG2P(en_callable=en.text_to_ipa)
+        ipa = g.convert_to_ipa(g.text_to_phonemes("今天是a beautiful day"))
+        assert "tɕin→" in ipa
+        assert "bjˈutəfəl" in ipa
+
+    def test_number_prepass(self, g2p):
+        ph = g2p.text_to_phonemes("42")
+        # 四十二 -> s s e r readings present
+        assert "ㄙㄭ4" in ph  # si4
+
+    def test_ipa_full_conversion(self, g2p):
+        ipa = g2p.convert_to_ipa(g2p.text_to_phonemes("我们都有一个家"))
+        # every zhuyin glyph converted
+        assert not any("ㄅ" <= c <= "ㄩ" for c in ipa)
+
+
+class TestEnglishG2P:
+    @pytest.fixture(scope="class")
+    def g2p(self):
+        return EnglishG2P()
+
+    def test_lexicon(self, g2p):
+        assert g2p.text_to_ipa("hello world") == "həlˈoʊ wɝld"
+
+    def test_morphology(self, g2p):
+        assert g2p.word_to_ipa("walks").endswith("s")
+        assert g2p.word_to_ipa("walked").endswith("t")
+        assert g2p.word_to_ipa("raining").endswith("ɪŋ")
+
+    def test_acronym(self, g2p):
+        ipa = g2p.word_to_ipa("ASAP")
+        assert "ˈeɪ" in ipa and "ˈɛs" in ipa
+
+    def test_oov_lts(self, g2p):
+        # deterministic non-empty output for OOV words
+        assert g2p.word_to_ipa("flembork")
+        assert g2p.word_to_ipa("zorpings")
+
+    def test_sentence(self, g2p):
+        out = g2p.text_to_ipa("The meeting starts at ten thirty.")
+        assert "mˈitɪŋ" in out
+        assert out.endswith(".")
