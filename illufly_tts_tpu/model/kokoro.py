@@ -1,0 +1,124 @@
+# -*- coding: utf-8 -*-
+"""KokoroModel: the full TTS stack, split into two jittable stages.
+
+Reference behavior (src/illufly_tts/core/kmodel.py:66-146): BERT -> duration
+prediction -> per-item alignment loop -> F0/N -> text encoding -> decoder.
+
+TPU-native redesign:
+- Stage A ``encode_durations``: everything whose shape depends only on the
+  token budget T. Returns float durations + token-level hidden states.
+- Stage B ``decode_frames``: everything at a fixed frame budget F. Alignment
+  is a batched cumsum/gather (ops/align.py) — no host loop, no dynamic
+  shapes. The engine buckets (T, F) so XLA compiles a small set of programs.
+- ``__call__`` runs both with F fixed to max capacity (training / dryrun).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.align import expand_by_duration, frame_mask
+from .albert import Albert
+from .config import KokoroConfig
+from .predictor import ProsodyPredictor
+from .text_encoder import TextEncoder
+from .vocoder import Decoder
+
+
+class KokoroModel(nn.Module):
+    config: KokoroConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = cfg.dtype
+        self.bert = Albert(cfg.albert, name="bert", dtype=dt)
+        self.bert_encoder = nn.Dense(cfg.hidden_dim, name="bert_encoder",
+                                     dtype=dt)
+        self.predictor = ProsodyPredictor(cfg, name="predictor", dtype=dt)
+        self.text_encoder = TextEncoder(cfg, name="text_encoder", dtype=dt)
+        self.decoder = Decoder(cfg, name="decoder", dtype=dt)
+
+    # ---- stage A: token-length shapes only ---------------------------------
+
+    def encode_durations(
+        self,
+        input_ids: jnp.ndarray,     # [B, T] int32, 0-padded
+        mask: jnp.ndarray,          # [B, T] 1=valid
+        ref_s: jnp.ndarray,         # [B, 256] voice embedding
+        speed: jnp.ndarray,         # [B] float
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)   # prosody half
+        bert_out = self.bert(input_ids, mask)
+        d_en = self.bert_encoder(bert_out)
+        duration, d = self.predictor.encode_durations(d_en, style, mask)
+        duration = duration / jnp.maximum(speed, 1e-3)[:, None]
+        return duration, d
+
+    @staticmethod
+    def quantize_durations(
+        duration: jnp.ndarray, mask: jnp.ndarray
+    ) -> jnp.ndarray:
+        """round + clamp(min=1) on valid tokens, 0 on padding
+        (matches reference rounding, kmodel.py:115)."""
+        pred = jnp.clip(jnp.round(duration), 1, None)
+        return (pred * mask).astype(jnp.int32)
+
+    # ---- stage B: fixed frame budget F --------------------------------------
+
+    def decode_frames(
+        self,
+        input_ids: jnp.ndarray,     # [B, T]
+        mask: jnp.ndarray,          # [B, T]
+        d: jnp.ndarray,             # [B, T, hidden+style] from stage A
+        pred_dur: jnp.ndarray,      # [B, T] int32 frames
+        ref_s: jnp.ndarray,         # [B, 256]
+        num_frames: int,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.config
+        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
+        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
+
+        en = expand_by_duration(d, pred_dur, num_frames)        # [B,F,H+S]
+        fmask = frame_mask(pred_dur, num_frames)                # [B,F]
+        f0, n_energy = self.predictor.f0n_train(en, style, fmask)
+
+        t_en = self.text_encoder(input_ids, mask)               # [B,T,H]
+        asr = expand_by_duration(t_en, pred_dur, num_frames)    # [B,F,H]
+
+        audio = self.decoder(asr, f0, n_energy, dec_style, fmask, rng)
+        sample_mask = jnp.repeat(fmask, cfg.samples_per_frame, axis=1)
+        return audio * sample_mask, fmask
+
+    # ---- combined (training / compile checks) -------------------------------
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        mask: jnp.ndarray,
+        ref_s: jnp.ndarray,
+        speed: Optional[jnp.ndarray] = None,
+        num_frames: Optional[int] = None,
+        rng: Optional[jax.Array] = None,
+    ):
+        if speed is None:
+            speed = jnp.ones((input_ids.shape[0],), jnp.float32)
+        duration, d = self.encode_durations(input_ids, mask, ref_s, speed)
+        pred_dur = self.quantize_durations(duration, mask)
+        if num_frames is None:
+            num_frames = int(input_ids.shape[1]) * 8
+        pred_dur = _fit_durations(pred_dur, num_frames)
+        audio, fmask = self.decode_frames(
+            input_ids, mask, d, pred_dur, ref_s, num_frames, rng
+        )
+        return audio, pred_dur, duration, fmask
+
+
+def _fit_durations(pred_dur: jnp.ndarray, budget: int) -> jnp.ndarray:
+    """Clip per-item durations so cumulative frames fit the static budget."""
+    cum_prev = jnp.cumsum(pred_dur, axis=-1) - pred_dur
+    return jnp.clip(budget - cum_prev, 0, pred_dur)

@@ -8,12 +8,19 @@ Environment must be set before the first `import jax` anywhere.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment's axon sitecustomize force-registers the TPU backend
+# and pins JAX_PLATFORMS=axon before conftest runs; plain env overrides are
+# ignored. jax.config.update after import is authoritative.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import asyncio  # noqa: E402
 import inspect  # noqa: E402
