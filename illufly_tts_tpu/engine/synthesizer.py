@@ -1,0 +1,256 @@
+# -*- coding: utf-8 -*-
+"""Synthesizer: IPA phonemes -> waveform through bucketed compiled steps.
+
+TPU-native replacement for the reference's eager per-batch model call
+(reference: src/illufly_tts/core/kmodel.py:7-150). Differences by design:
+
+- Two compiled stages: stage A (token budget T) predicts durations; the host
+  rounds them and picks a frame bucket F; stage B (T, F) renders audio.
+  No per-item Python loop, no dynamic shapes, no recompiles after warmup.
+- Voice packs live on device; ref embeddings are gathered by phoneme length
+  (same indexing rule as reference pipeline.py:199 / 596-603).
+- Audio stays in memory as float32 numpy; WAV encoding is a separate step.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..model.config import KokoroConfig
+from ..model.kokoro import KokoroModel, _fit_durations
+from ..model.vocab import encode as encode_phonemes
+from .buckets import BATCH_BUCKETS, FRAME_BUCKETS, TOKEN_BUCKETS, pick
+
+logger = logging.getLogger(__name__)
+
+MAX_PHONEMES = 510  # same hard cap as reference pipeline.py:191-193
+
+
+class Synthesizer:
+    def __init__(
+        self,
+        config: Optional[KokoroConfig] = None,
+        params=None,
+        voices_dir: Optional[str] = None,
+        seed: int = 0,
+        mesh=None,
+        token_buckets: Sequence[int] = TOKEN_BUCKETS,
+        frame_buckets: Sequence[int] = FRAME_BUCKETS,
+    ):
+        self.config = config or KokoroConfig()
+        self.model = KokoroModel(self.config)
+        self.voices_dir = voices_dir
+        self.mesh = mesh
+        self.token_buckets = token_buckets
+        self.frame_buckets = frame_buckets
+        self.sample_rate = self.config.sample_rate
+        self._voices: Dict[str, jnp.ndarray] = {}
+        self._lock = threading.Lock()
+        self._stage_a = {}
+        self._stage_b = {}
+
+        if params is None:
+            logger.info("initializing random model parameters (no checkpoint)")
+            params = self._random_init(seed)
+        self.params = params
+
+    # --- parameters ----------------------------------------------------------
+
+    def _random_init(self, seed: int):
+        ids = jnp.zeros((1, 8), jnp.int32)
+        mask = jnp.ones((1, 8), jnp.float32)
+        ref = jnp.zeros((1, 2 * self.config.style_dim), jnp.float32)
+        return self.model.init(
+            jax.random.PRNGKey(seed), ids, mask, ref, num_frames=16
+        )
+
+    def save_params(self, path: str) -> None:
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+
+    def load_params(self, path: str) -> None:
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.params = serialization.from_bytes(self.params, f.read())
+
+    # --- voices ---------------------------------------------------------------
+
+    def load_voice(self, voice_id: str) -> jnp.ndarray:
+        """Voice pack [L, 256]: style embedding indexed by phoneme length
+        (reference pipeline.py:78-109 search order: voices_dir then cache)."""
+        if voice_id in self._voices:
+            return self._voices[voice_id]
+        pack = None
+        if self.voices_dir:
+            for ext, loader in ((".npy", np.load), (".npz", None), (".pt", None)):
+                path = os.path.join(self.voices_dir, f"{voice_id}{ext}")
+                if not os.path.exists(path):
+                    continue
+                if ext == ".npy":
+                    pack = np.load(path)
+                elif ext == ".npz":
+                    with np.load(path) as z:
+                        pack = z[list(z.keys())[0]]
+                else:
+                    import torch  # cpu-only, used for reference voice packs
+
+                    pack = torch.load(
+                        path, map_location="cpu", weights_only=True
+                    ).numpy()
+                break
+        if pack is None:
+            raise ValueError(
+                f"voice not found: {voice_id} (searched {self.voices_dir})"
+            )
+        pack = np.asarray(pack, np.float32)
+        if pack.ndim == 3:  # [L, 1, 256] -> [L, 256]
+            pack = pack[:, 0, :]
+        if pack.ndim == 1:
+            pack = np.tile(pack[None, :], (MAX_PHONEMES, 1))
+        with self._lock:
+            self._voices[voice_id] = jnp.asarray(pack)
+        return self._voices[voice_id]
+
+    def register_voice(self, voice_id: str, pack: np.ndarray) -> None:
+        pack = np.asarray(pack, np.float32)
+        if pack.ndim == 1:
+            pack = np.tile(pack[None, :], (MAX_PHONEMES, 1))
+        with self._lock:
+            self._voices[voice_id] = jnp.asarray(pack)
+
+    def register_random_voice(self, voice_id: str, seed: int = 0) -> None:
+        rng = np.random.RandomState(seed)
+        pack = rng.randn(MAX_PHONEMES, 2 * self.config.style_dim).astype(
+            np.float32
+        ) * 0.1
+        self.register_voice(voice_id, pack)
+
+    def list_voices(self) -> List[str]:
+        names = set(self._voices)
+        if self.voices_dir and os.path.isdir(self.voices_dir):
+            for f in os.listdir(self.voices_dir):
+                base, ext = os.path.splitext(f)
+                if ext in (".npy", ".npz", ".pt", ".pth"):
+                    names.add(base)
+        return sorted(names)
+
+    def is_voice_loaded(self, voice_id: str) -> bool:
+        if voice_id in self._voices:
+            return True
+        try:
+            self.load_voice(voice_id)
+            return True
+        except Exception:
+            return False
+
+    # --- compiled stages -------------------------------------------------------
+
+    def _get_stage_a(self, batch: int, tokens: int):
+        key = (batch, tokens)
+        if key not in self._stage_a:
+            def run(params, ids, mask, ref_s, speed):
+                return self.model.apply(
+                    params, ids, mask, ref_s, speed,
+                    method=KokoroModel.encode_durations,
+                )
+
+            self._stage_a[key] = jax.jit(run)
+        return self._stage_a[key]
+
+    def _get_stage_b(self, batch: int, tokens: int, frames: int):
+        key = (batch, tokens, frames)
+        if key not in self._stage_b:
+            def run(params, ids, mask, d, pred_dur, ref_s):
+                return self.model.apply(
+                    params, ids, mask, d, pred_dur, ref_s, frames,
+                    method=KokoroModel.decode_frames,
+                )
+
+            self._stage_b[key] = jax.jit(run)
+        return self._stage_b[key]
+
+    # --- synthesis -------------------------------------------------------------
+
+    def synthesize_batch(
+        self,
+        phonemes_list: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+    ) -> List[np.ndarray]:
+        """IPA phoneme strings -> list of float32 waveforms at 24 kHz."""
+        n = len(phonemes_list)
+        if n == 0:
+            return []
+        if speeds is None:
+            speeds = [1.0] * n
+
+        id_lists = [
+            encode_phonemes(p, max_len=MAX_PHONEMES + 2)
+            for p in phonemes_list
+        ]
+        lengths = [len(ids) for ids in id_lists]
+        t_bucket = pick(self.token_buckets, max(lengths))
+        b_bucket = pick(BATCH_BUCKETS, n)
+
+        ids = np.zeros((b_bucket, t_bucket), np.int32)
+        mask = np.zeros((b_bucket, t_bucket), np.float32)
+        ref_s = np.zeros(
+            (b_bucket, 2 * self.config.style_dim), np.float32
+        )
+        speed_arr = np.ones((b_bucket,), np.float32)
+        for i, id_list in enumerate(id_lists):
+            ids[i, : len(id_list)] = id_list
+            mask[i, : len(id_list)] = 1.0
+            pack = self.load_voice(voice_ids[i])
+            row = min(len(phonemes_list[i]) - 1, pack.shape[0] - 1)
+            ref_s[i] = np.asarray(pack[max(row, 0)])
+            speed_arr[i] = speeds[i]
+
+        stage_a = self._get_stage_a(b_bucket, t_bucket)
+        duration, d = stage_a(
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(ref_s), jnp.asarray(speed_arr),
+        )
+        pred_dur = KokoroModel.quantize_durations(
+            duration, jnp.asarray(mask)
+        )
+        totals = np.asarray(pred_dur.sum(axis=-1))
+        f_bucket = pick(self.frame_buckets, int(totals[:n].max()))
+        pred_dur = _fit_durations(pred_dur, f_bucket)
+
+        stage_b = self._get_stage_b(b_bucket, t_bucket, f_bucket)
+        audio, _ = stage_b(
+            self.params, jnp.asarray(ids), jnp.asarray(mask), d, pred_dur,
+            jnp.asarray(ref_s),
+        )
+        audio_np = np.asarray(audio)
+        fitted_totals = np.asarray(pred_dur.sum(axis=-1))
+        spf = self.config.samples_per_frame
+        return [
+            audio_np[i, : int(fitted_totals[i]) * spf].astype(np.float32)
+            for i in range(n)
+        ]
+
+    def warmup(
+        self,
+        batch_sizes: Sequence[int] = (1, 4),
+        token_sizes: Sequence[int] = (64, 256),
+    ) -> None:
+        """Precompile the common bucket inventory (avoids first-hit latency)."""
+        self.register_random_voice("__warmup__", seed=1)
+        for b in batch_sizes:
+            for t in token_sizes:
+                fake = "ni→xau↓" * max(1, (t - 2) // 8)
+                self.synthesize_batch(
+                    [fake[: t - 2]] * b, ["__warmup__"] * b
+                )

@@ -255,7 +255,7 @@ class AdaSnakeResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, s):
+    def __call__(self, x, s, mask: Optional[jnp.ndarray] = None):
         for j, d in enumerate(self.dilations):
             alpha1 = self.param(
                 f"alpha1_{j}", nn.initializers.ones, (1, 1, self.channels),
@@ -265,16 +265,27 @@ class AdaSnakeResBlock(nn.Module):
                 f"alpha2_{j}", nn.initializers.ones, (1, 1, self.channels),
                 jnp.float32,
             ).astype(x.dtype)
-            h = AdaIN1d(self.channels, name=f"adain1_{j}", dtype=self.dtype)(x, s)
+            m = mask[..., None].astype(x.dtype) if mask is not None else None
+            h = AdaIN1d(self.channels, name=f"adain1_{j}", dtype=self.dtype)(
+                x, s, mask
+            )
             h = snake(h, alpha1)
+            if m is not None:
+                h = h * m
             h = Conv1d(
                 self.channels, self.kernel, dilation=d,
                 name=f"conv1_{j}", dtype=self.dtype,
             )(h)
-            h = AdaIN1d(self.channels, name=f"adain2_{j}", dtype=self.dtype)(h, s)
+            h = AdaIN1d(self.channels, name=f"adain2_{j}", dtype=self.dtype)(
+                h, s, mask
+            )
             h = snake(h, alpha2)
+            if m is not None:
+                h = h * m
             h = Conv1d(
                 self.channels, self.kernel, name=f"conv2_{j}", dtype=self.dtype
             )(h)
             x = x + h
+            if m is not None:
+                x = x * m
         return x

@@ -72,6 +72,10 @@ class Generator(nn.Module):
         for u in cfg.upsample_rates:
             up_total *= u
 
+        if mask is not None:
+            f0 = f0 * mask.astype(f0.dtype)
+            x = x * mask[..., None].astype(x.dtype)
+
         # harmonic source at sample rate
         samples_per_in = up_total * hop                       # 300
         f0_up = jnp.repeat(f0, samples_per_in, axis=1)        # [B, L]
@@ -96,6 +100,7 @@ class Generator(nn.Module):
             )(x)
             if cur_mask is not None:
                 cur_mask = jnp.repeat(cur_mask, u, axis=1)
+                x = x * cur_mask[..., None].astype(x.dtype)
             # noise branch from the harmonic spectrum
             if i + 1 < num_ups:
                 stride_f0 = 1
@@ -108,7 +113,7 @@ class Generator(nn.Module):
                 x_src = AdaSnakeResBlock(
                     c_cur, 7, (1, 3, 5), self.config.style_dim,
                     name=f"noise_res_{i}", dtype=self.dtype,
-                )(x_src, s)
+                )(x_src, s, cur_mask)
             else:
                 x_src = Conv1d(
                     c_cur, kernel=1, name=f"noise_conv_{i}", dtype=self.dtype
@@ -116,7 +121,7 @@ class Generator(nn.Module):
                 x_src = AdaSnakeResBlock(
                     c_cur, 11, (1, 3, 5), self.config.style_dim,
                     name=f"noise_res_{i}", dtype=self.dtype,
-                )(x_src, s)
+                )(x_src, s, cur_mask)
             x = x + x_src
             acc = None
             for j, (kr, dr) in enumerate(
@@ -125,7 +130,7 @@ class Generator(nn.Module):
                 out = AdaSnakeResBlock(
                     c_cur, kr, tuple(dr), self.config.style_dim,
                     name=f"res_{i}_{j}", dtype=self.dtype,
-                )(x, s)
+                )(x, s, cur_mask)
                 acc = out if acc is None else acc + out
             x = acc / len(cfg.resblock_kernel_sizes)
 
@@ -147,6 +152,10 @@ class Decoder(nn.Module):
     def __call__(self, asr, f0_curve, n_curve, s, frame_mask=None, rng=None):
         """asr [B,F,hidden], f0/n [B,2F], s [B,style] -> audio [B, F*600]."""
         cfg = self.config
+        if frame_mask is not None:
+            mask2 = jnp.repeat(frame_mask, 2, axis=1).astype(f0_curve.dtype)
+            f0_curve = f0_curve * mask2
+            n_curve = n_curve * mask2
         f0 = Conv1d(1, kernel=3, stride=2, name="f0_conv", dtype=self.dtype)(
             f0_curve[..., None]
         )

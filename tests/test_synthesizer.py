@@ -1,0 +1,79 @@
+# -*- coding: utf-8 -*-
+"""Synthesizer engine tests (tiny config, CPU)."""
+import numpy as np
+import pytest
+
+from illufly_tts_tpu.engine.synthesizer import Synthesizer
+from tests.test_model import tiny_config
+
+
+@pytest.fixture(scope="module")
+def synth():
+    s = Synthesizer(
+        config=tiny_config(),
+        token_buckets=(16, 32),
+        frame_buckets=(32, 64, 128),
+    )
+    s.register_random_voice("test_voice", seed=3)
+    return s
+
+
+def test_single(synth):
+    audio = synth.synthesize_batch(["ni→xau↓"], ["test_voice"])
+    assert len(audio) == 1
+    assert audio[0].dtype == np.float32
+    assert audio[0].size > 0
+    assert audio[0].size % synth.config.samples_per_frame == 0
+    assert np.all(np.isfinite(audio[0]))
+
+
+def test_batch_varied_lengths(synth):
+    texts = ["ni→xau↓", "ni→xau↓ma, tsai↘tɕjɛn↘.", "a→"]
+    audio = synth.synthesize_batch(texts, ["test_voice"] * 3)
+    assert len(audio) == 3
+    # longer phoneme strings should not produce shorter audio than a single
+    # phoneme (sanity of per-item trimming)
+    assert audio[1].size >= audio[2].size
+
+
+def test_speed_shortens(synth):
+    slow = synth.synthesize_batch(
+        ["ni→xau↓tsai↘tɕjɛn↘"], ["test_voice"], [0.7]
+    )[0]
+    fast = synth.synthesize_batch(
+        ["ni→xau↓tsai↘tɕjɛn↘"], ["test_voice"], [1.5]
+    )[0]
+    assert fast.size < slow.size
+
+
+def test_batch_matches_single(synth):
+    """Batched inference must produce the same audio as single-item calls."""
+    texts = ["ni→xau↓", "tsʰɤ↘ʂɨ↘wən↗tɕjɛn↘"]
+    batched = synth.synthesize_batch(texts, ["test_voice"] * 2)
+    singles = [
+        synth.synthesize_batch([t], ["test_voice"])[0] for t in texts
+    ]
+    for b, s in zip(batched, singles):
+        assert b.size == s.size
+        # different compiled programs reorder f32 reductions; the exp() iSTFT
+        # head amplifies that to ~1e-5 relative at the audio scale
+        scale = max(np.abs(s).max(), 1.0)
+        np.testing.assert_allclose(b / scale, s / scale, atol=5e-4)
+
+
+def test_empty_batch(synth):
+    assert synth.synthesize_batch([], []) == []
+
+
+def test_unknown_voice(synth):
+    with pytest.raises(ValueError):
+        synth.synthesize_batch(["a→"], ["nope"])
+
+
+def test_compile_cache_reuse(synth):
+    synth.synthesize_batch(["ni→xau↓"], ["test_voice"])
+    n_a = len(synth._stage_a)
+    n_b = len(synth._stage_b)
+    synth.synthesize_batch(["ma→ma"], ["test_voice"])
+    assert len(synth._stage_a) == n_a
+    assert len(synth._stage_b) == n_b
