@@ -1,0 +1,417 @@
+# -*- coding: utf-8 -*-
+"""TTSPipeline: text -> normalized text -> phonemes -> IPA -> waveform.
+
+API parity with the reference's ``TTSPipeline`` / ``CachedTTSPipeline``
+(reference: src/illufly_tts/core/pipeline.py:23-832): same method surface
+(process / batch_process / batch_process_texts / stream_batch_process /
+segment_text / preprocess_text / text_to_phonemes / phonemes_to_ipa /
+generate_from_phonemes / load_voice / list_voices), same language-inference
+chunking, same 510-phoneme cap, same length-indexed voice embeddings.
+
+TPU redesign: the model call goes through the bucketed two-stage Synthesizer
+(engine/synthesizer.py) instead of eager torch; audio is float32 numpy and
+WAV I/O uses the stdlib.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import re
+import time
+from typing import Dict, Generator, List, Optional, Sequence
+
+import numpy as np
+
+from .audio.wav import save_wav
+from .engine.synthesizer import MAX_PHONEMES, Synthesizer
+from .frontend.g2p.chinese_g2p import ChineseG2P
+from .frontend.g2p.en_g2p import EnglishG2P
+from .frontend.normalization.en import EnTextNormalizer
+from .frontend.normalization.zh import ZhTextNormalizer
+from .frontend.normalization.en.chronology import verbalize_ordinal
+
+logger = logging.getLogger(__name__)
+
+_CHUNK_PATTERN = re.compile(
+    r"([一-鿿㐀-䶿豈-﫿]+)|"          # Chinese
+    r"([a-zA-Z]+(?:[\s\-\'\"][a-zA-Z]+)*)|"                   # English words
+    r"((?:气温)?-?\d+(?:\.\d+)?(?:°C|℃|度|摄氏度)?)|"           # numbers
+    r"([ -⁯⸀-⹿\'!\"#$%&\(\)*+,\-.\/:;<=>?@\[\]^_`{|}~]+)"
+)
+_CURRENCY_SYMBOLS = ("￥", "¥", "$", "€", "£", "₽", "₹")
+
+
+class TTSPipeline:
+    def __init__(
+        self,
+        repo_id: str = "",
+        voices_dir: Optional[str] = None,
+        device: Optional[str] = None,  # accepted for parity; TPU is implicit
+        default_language: str = "zh",
+        synthesizer: Optional[Synthesizer] = None,
+        params_path: Optional[str] = None,
+    ):
+        self.repo_id = repo_id
+        self.voices_dir = voices_dir
+        self.device = device or "tpu"
+        self.default_language = default_language
+        self.sample_rate = 24000
+
+        self.en_g2p = EnglishG2P()
+        self.en_callback = self.en_g2p.text_to_ipa
+        self.g2p = ChineseG2P(en_callable=self.en_callback)
+        self.zh_normalizer = ZhTextNormalizer()
+        self.en_normalizer = EnTextNormalizer()
+
+        self.synthesizer = synthesizer or Synthesizer(voices_dir=voices_dir)
+        if params_path and os.path.exists(params_path):
+            self.synthesizer.load_params(params_path)
+        elif repo_id and os.path.isfile(repo_id):
+            self.synthesizer.load_params(repo_id)
+        self.sample_rate = self.synthesizer.sample_rate
+        logger.info("TTSPipeline ready (device=%s)", self.device)
+
+    # --- voices ---------------------------------------------------------------
+
+    def load_voice(self, voice_id: str):
+        return self.synthesizer.load_voice(voice_id)
+
+    def list_voices(self) -> List[str]:
+        return self.synthesizer.list_voices()
+
+    # --- text processing --------------------------------------------------------
+
+    def segment_text(self, text: str, max_len: int = 400) -> List[str]:
+        """Sentence-pack segments of <= max_len chars
+        (reference pipeline.py:111-146 semantics)."""
+        sentences = re.split(r"([。！？.!?]+)", text)
+        chunks: List[str] = []
+        current = ""
+        for i in range(0, len(sentences), 2):
+            sentence = sentences[i]
+            if i + 1 < len(sentences):
+                sentence += sentences[i + 1]
+            if len(current) + len(sentence) <= max_len:
+                current += sentence
+            else:
+                if current:
+                    chunks.append(current)
+                current = sentence
+        if current:
+            chunks.append(current)
+        if not chunks:
+            chunks = [text[i:i + max_len] for i in range(0, len(text), max_len)]
+        return chunks
+
+    def preprocess_text(self, text: str) -> str:
+        """Split into zh/en/number/punct chunks, infer number language from
+        context, normalize per language (reference pipeline.py:208-374)."""
+        chunks = []
+        last_end = 0
+        for match in _CHUNK_PATTERN.finditer(text):
+            if match.start() > last_end:
+                unmatched = text[last_end:match.start()]
+                if unmatched.strip():
+                    chunks.append((None, unmatched))
+                elif unmatched and chunks:
+                    # whitespace gap: keep it attached to the previous chunk
+                    # so the en normalizer sees real word boundaries
+                    chunks.append((chunks[-1][0], unmatched))
+            if match.group(1):
+                chunks.append(("zh", match.group(1)))
+            elif match.group(2):
+                chunks.append(("en", match.group(2)))
+            elif match.group(3):
+                number_text = match.group(3)
+                has_temp = any(
+                    u in number_text
+                    for u in ("°C", "℃", "度", "摄氏度", "气温")
+                )
+                prev_type = chunks[-1][0] if chunks else None
+                prev_char = text[match.start() - 1:match.start()]
+                next_char = text[match.end():match.end() + 1]
+                is_zh = (
+                    has_temp
+                    or (next_char and "一" <= next_char <= "鿿")
+                    or prev_type == "zh"
+                    or (prev_char and "一" <= prev_char <= "鿿")
+                )
+                is_en = prev_type == "en" or (
+                    next_char.isalpha()
+                    and not "一" <= next_char <= "鿿"
+                )
+                lang = "zh" if is_zh else ("en" if is_en else None)
+                if lang is None:
+                    lang = self.default_language
+                chunks.append((lang, number_text))
+            else:
+                prev_type = chunks[-1][0] if chunks else None
+                chunks.append((prev_type or "zh", match.group(4)))
+            last_end = match.end()
+        if last_end < len(text):
+            unmatched = text[last_end:]
+            if unmatched.strip():
+                chunks.append((None, unmatched))
+
+        # merge adjacent same-type chunks
+        merged = []
+        cur_type, cur_text = None, ""
+        for ctype, ctext in chunks:
+            if ctype == cur_type:
+                cur_text += ctext
+            else:
+                if cur_text:
+                    merged.append((cur_type, cur_text))
+                cur_type, cur_text = ctype, ctext
+        if cur_text:
+            merged.append((cur_type, cur_text))
+
+        segments: List[str] = []
+        for ctype, ctext in merged:
+            if ctype == "zh":
+                normalized = "".join(self.zh_normalizer.normalize(ctext))
+            else:
+                normalized = self.en_normalizer.normalize(ctext)
+                normalized = re.sub(
+                    r"(\w+)(\d+|ten|twenty|thirty|forty|fifty|sixty|seventy"
+                    r"|eighty|ninety)",
+                    r"\1 \2",
+                    normalized,
+                )
+            if (
+                segments
+                and ctype == "en"
+                and not normalized.startswith(" ")
+                and not segments[-1].endswith(" ")
+            ):
+                segments.append(" ")
+            segments.append(normalized)
+        result = "".join(segments)
+
+        # zh-context currency amounts (reference pipeline.py:324-340)
+        zh_currency = re.compile(
+            r"([一-鿿])?([￥¥$€£₽₹])?\s*(\d+(?:\.\d+)?)"
+            r"([一-鿿])?"
+        )
+
+        def fix_currency(match: re.Match) -> str:
+            prev_cn, currency, amount, next_cn = match.groups()
+            if (prev_cn or next_cn or currency in ("￥", "¥")) and amount:
+                amount_zh = "".join(self.zh_normalizer.normalize(amount))
+                return (
+                    f"{prev_cn or ''}{currency or ''}{amount_zh}"
+                    f"{next_cn or ''}"
+                )
+            return match.group(0)
+
+        result = zh_currency.sub(fix_currency, result)
+
+        # English ordinal dates left as "June 1st" (reference pipeline.py:343-371)
+        month_pattern = re.compile(
+            r"(January|February|March|April|May|June|July|August|September"
+            r"|October|November|December)\s+(\d{1,2})(st|nd|rd|th)",
+            re.IGNORECASE,
+        )
+        result = month_pattern.sub(
+            lambda m: f"{m.group(1)} {verbalize_ordinal(int(m.group(2)))}",
+            result,
+        )
+        return result
+
+    def text_to_phonemes(self, text: str) -> str:
+        return self.g2p.text_to_phonemes(text)
+
+    def phonemes_to_ipa(self, phonemes: str) -> str:
+        return self.g2p.convert_to_ipa(phonemes)
+
+    # --- synthesis ---------------------------------------------------------------
+
+    def generate_from_phonemes(
+        self, phonemes: str, voice_id: str = "zf_001", speed: float = 1.0
+    ) -> np.ndarray:
+        if len(phonemes) > MAX_PHONEMES:
+            logger.warning(
+                "phoneme sequence too long (%d), truncating to %d",
+                len(phonemes), MAX_PHONEMES,
+            )
+            phonemes = phonemes[:MAX_PHONEMES]
+        return self.synthesizer.synthesize_batch(
+            [phonemes], [voice_id], [speed]
+        )[0]
+
+    def process(
+        self,
+        text: str,
+        voice_id: str,
+        speed: float = 1.0,
+        output_path: Optional[str] = None,
+        segment_text: bool = False,
+    ) -> np.ndarray:
+        normalized = self.preprocess_text(text)
+        if segment_text:
+            segments = self.segment_text(normalized)
+            parts = []
+            for seg in segments:
+                ipa = self.phonemes_to_ipa(self.text_to_phonemes(seg))
+                parts.append(self.generate_from_phonemes(ipa, voice_id, speed))
+            audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        else:
+            ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
+            audio = self.generate_from_phonemes(ipa, voice_id, speed)
+        if output_path:
+            os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+            save_wav(output_path, audio, self.sample_rate)
+        return audio
+
+    def batch_process(
+        self,
+        texts: Sequence[str],
+        voice_id: str,
+        speed: float = 1.0,
+        output_dir: Optional[str] = None,
+        output_prefix: str = "tts_output",
+    ) -> List[np.ndarray]:
+        results = []
+        for i, text in enumerate(texts):
+            path = (
+                os.path.join(output_dir, f"{output_prefix}_{i + 1}.wav")
+                if output_dir else None
+            )
+            results.append(self.process(text, voice_id, speed, path))
+        return results
+
+    def batch_process_texts(
+        self,
+        texts: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+    ) -> List[np.ndarray]:
+        """One fused batched model call for many texts
+        (reference pipeline.py:556-614)."""
+        if speeds is None:
+            speeds = [1.0] * len(texts)
+        ipa_list = [
+            self.phonemes_to_ipa(
+                self.text_to_phonemes(self.preprocess_text(t))
+            )[:MAX_PHONEMES]
+            for t in texts
+        ]
+        return self.synthesizer.synthesize_batch(ipa_list, voice_ids, speeds)
+
+    async def async_batch_process_texts(self, texts, voice_ids, speeds=None):
+        return self.batch_process_texts(texts, voice_ids, speeds)
+
+    def stream_batch_process(
+        self,
+        long_texts: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+        chunk_size: int = 200,
+    ) -> Generator[List[np.ndarray], None, None]:
+        """Chunk-synchronous round-robin over long texts
+        (reference pipeline.py:616-663)."""
+        if speeds is None:
+            speeds = [1.0] * len(long_texts)
+        chunk_lists = [self.segment_text(t, chunk_size) for t in long_texts]
+        max_chunks = max(len(c) for c in chunk_lists) if chunk_lists else 0
+        for i in range(max_chunks):
+            cur_texts, cur_voices, cur_speeds = [], [], []
+            for idx, chunks in enumerate(chunk_lists):
+                if i < len(chunks):
+                    cur_texts.append(chunks[i])
+                    cur_voices.append(voice_ids[idx])
+                    cur_speeds.append(speeds[idx])
+            if cur_texts:
+                yield self.batch_process_texts(
+                    cur_texts, cur_voices, cur_speeds
+                )
+
+
+class CachedTTSPipeline(TTSPipeline):
+    """Adds transparent caching of every frontend stage + audio results
+    (reference pipeline.py:665-832)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._cache: Dict[str, object] = {}
+        self._audio_cache: Dict[str, np.ndarray] = {}
+        self.cache_stats = {
+            f"{k}_{kind}": 0
+            for k in ("voice", "text", "phoneme", "ipa")
+            for kind in ("hits", "misses")
+        }
+
+    def _cached(self, kind: str, key: str, compute):
+        cache_key = f"{kind}:{key}"
+        if cache_key in self._cache:
+            self.cache_stats[f"{kind}_hits"] += 1
+            return self._cache[cache_key]
+        start = time.time()
+        result = compute()
+        self._cache[cache_key] = result
+        self.cache_stats[f"{kind}_misses"] += 1
+        logger.debug("%s cache miss (%.3fs)", kind, time.time() - start)
+        return result
+
+    def preprocess_text(self, text: str) -> str:
+        return self._cached(
+            "text", str(hash(text)), lambda: super(
+                CachedTTSPipeline, self
+            ).preprocess_text(text)
+        )
+
+    def text_to_phonemes(self, text: str) -> str:
+        return self._cached(
+            "phoneme", str(hash(text)), lambda: super(
+                CachedTTSPipeline, self
+            ).text_to_phonemes(text)
+        )
+
+    def phonemes_to_ipa(self, phonemes: str) -> str:
+        return self._cached(
+            "ipa", str(hash(phonemes)), lambda: super(
+                CachedTTSPipeline, self
+            ).phonemes_to_ipa(phonemes)
+        )
+
+    def get_cache_stats(self) -> Dict[str, float]:
+        stats = dict(self.cache_stats)
+        for kind in ("voice", "text", "phoneme", "ipa"):
+            hits = stats[f"{kind}_hits"]
+            misses = stats[f"{kind}_misses"]
+            total = hits + misses
+            stats[f"{kind}_hit_rate"] = hits / total if total else 0.0
+        return stats
+
+    def clear_caches(self) -> None:
+        self._cache.clear()
+        self._audio_cache.clear()
+
+    def is_voice_loaded(self, voice_id: str) -> bool:
+        return self.synthesizer.is_voice_loaded(voice_id)
+
+    def batch_process_texts(self, texts, voice_ids, speeds=None):
+        if speeds is None:
+            speeds = [1.0] * len(texts)
+        results: List[Optional[np.ndarray]] = []
+        uncached = []
+        for i, (text, voice, speed) in enumerate(
+            zip(texts, voice_ids, speeds)
+        ):
+            key = f"audio:{voice}:{speed}:{hash(text)}"
+            if key in self._audio_cache:
+                results.append(self._audio_cache[key])
+            else:
+                uncached.append(i)
+                results.append(None)
+        if uncached:
+            fresh = super().batch_process_texts(
+                [texts[i] for i in uncached],
+                [voice_ids[i] for i in uncached],
+                [speeds[i] for i in uncached],
+            )
+            for j, i in enumerate(uncached):
+                results[i] = fresh[j]
+                key = f"audio:{voice_ids[i]}:{speeds[i]}:{hash(texts[i])}"
+                self._audio_cache[key] = fresh[j]
+        return results
