@@ -1,0 +1,81 @@
+# -*- coding: utf-8 -*-
+"""CLI: ``python -m illufly_tts_tpu serve`` — flag parity with the reference
+(reference: src/illufly_tts/__main__.py:23-142). Serves over aiohttp
+(uvicorn/fastapi are optional in this environment)."""
+from __future__ import annotations
+
+import logging
+import os
+import sys
+
+import click
+
+logging.basicConfig(
+    level=logging.INFO,
+    format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
+)
+logger = logging.getLogger("illufly_tts_tpu")
+
+
+@click.group()
+def cli():
+    """illufly-tts-tpu: TPU-native Chinese-first TTS service."""
+
+
+@cli.command()
+@click.option("--host", default="0.0.0.0", help="bind host")
+@click.option("--port", default=31572, type=int, help="bind port")
+@click.option("--repo-id", default="", help="model params path (empty = random init)")
+@click.option("--voices-dir", default=None, help="voice pack directory")
+@click.option("--device", default=None, help="accepted for parity; TPU is implicit")
+@click.option("--batch-size", default=4, type=int, help="max batch per step")
+@click.option("--max-wait-time", default=0.2, type=float, help="batching window (s)")
+@click.option("--chunk-size", default=200, type=int, help="long-text chunk chars")
+@click.option("--output-dir", default=None, help="wav output directory")
+@click.option("--debug-output", is_flag=True, help="dump per-task debug wavs")
+def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
+          chunk_size, output_dir, debug_output):
+    """Start the TTS HTTP service."""
+    from aiohttp import web
+
+    from .api.endpoints import create_app
+
+    if debug_output:
+        os.environ["TTS_DEBUG_OUTPUT"] = "1"
+    if os.environ.get("TTS_DEV_MODE", "").lower() in ("1", "true", "yes"):
+        logger.warning("=" * 60)
+        logger.warning("DEV MODE ENABLED — authentication is relaxed")
+        logger.warning("=" * 60)
+
+    cors_origins = os.environ.get("TTS_CORS_ORIGINS", "")
+    app = create_app(
+        repo_id=repo_id,
+        voices_dir=voices_dir,
+        device=device,
+        batch_size=batch_size,
+        max_wait_time=max_wait_time,
+        chunk_size=chunk_size,
+        output_dir=output_dir,
+    )
+    if cors_origins:
+        @web.middleware
+        async def cors_middleware(request, handler):
+            response = await handler(request)
+            response.headers["Access-Control-Allow-Origin"] = cors_origins
+            response.headers["Access-Control-Allow-Credentials"] = "true"
+            return response
+
+        app.middlewares.append(cors_middleware)
+
+    logger.info("serving on %s:%d", host, port)
+    web.run_app(app, host=host, port=port)
+
+
+def main():
+    if len(sys.argv) == 1:
+        sys.argv.append("serve")
+    cli()
+
+
+if __name__ == "__main__":
+    main()

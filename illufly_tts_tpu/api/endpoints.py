@@ -1,0 +1,210 @@
+# -*- coding: utf-8 -*-
+"""HTTP service layer (aiohttp-native; FastAPI mount available via
+fastapi_compat when fastapi is installed).
+
+Route/response parity with the reference (src/illufly_tts/api/endpoints.py:
+32-254): POST {prefix}/tts (submit -> poll -> base64 WAV JSON),
+GET {prefix}/tts/voices, GET {prefix}/tts/info, dev routes, cancel_pending
+semantics, JWT via cookie or bearer. TPU improvement: audio is served from
+in-memory chunks — no wav write->read round-trip (the on-disk output_dir
+copy is still written for parity)."""
+from __future__ import annotations
+
+import asyncio
+import base64
+import logging
+import os
+import tempfile
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from ..audio.wav import encode_wav
+from ..runtime.scheduler import TTSServiceManager
+from .auth import AuthError, authenticate
+from .dev_endpoints import add_dev_routes
+from .dev_mode import is_dev_mode
+
+logger = logging.getLogger(__name__)
+
+SERVICE_VERSION = "0.1.0"
+
+
+def _require_user(request: web.Request) -> Dict[str, Any]:
+    try:
+        return authenticate(
+            request.headers, request.cookies, request.query
+        )
+    except AuthError as exc:
+        raise web.HTTPUnauthorized(
+            reason=exc.detail
+        ) if exc.status == 401 else web.HTTPForbidden(reason=exc.detail)
+
+
+async def _process_tts_request(
+    manager: TTSServiceManager,
+    text: str,
+    voice_id: str,
+    user_id: Optional[str],
+    sequence_id: Optional[float],
+    speed: float = 1.0,
+) -> Dict[str, Any]:
+    task_id = await manager.submit_task(
+        text=text, voice_id=voice_id, speed=speed, user_id=user_id,
+        sequence_id=sequence_id,
+    )
+    while True:
+        status = await manager.get_task_status(task_id)
+        if status["status"] in ("completed", "failed", "canceled"):
+            break
+        await asyncio.sleep(0.05)
+    if status["status"] != "completed":
+        return {
+            "status": "error",
+            "task_id": task_id,
+            "error": status.get("error") or "processing failed",
+        }
+    task = manager.tasks[task_id]
+    if not task.audio_chunks:
+        return {"status": "error", "task_id": task_id,
+                "error": "no audio generated"}
+    wav_bytes = encode_wav(
+        task.audio_chunks[0], manager.pipeline.sample_rate
+    )
+    return {
+        "status": "success",
+        "task_id": task_id,
+        "audio_base64": base64.b64encode(wav_bytes).decode("ascii"),
+        "sample_rate": manager.pipeline.sample_rate,
+        "created_at": status["created_at"],
+        "completed_at": status["completed_at"],
+    }
+
+
+def create_app(
+    repo_id: str = "",
+    voices_dir: Optional[str] = None,
+    device: Optional[str] = None,
+    batch_size: int = 4,
+    max_wait_time: float = 0.2,
+    chunk_size: int = 200,
+    output_dir: Optional[str] = None,
+    prefix: str = "/api",
+    pipeline=None,
+    register_default_voice: bool = True,
+) -> web.Application:
+    """Build the aiohttp application serving the TTS API."""
+    if not output_dir:
+        output_dir = os.path.join(tempfile.gettempdir(), "illufly_tts_output")
+        os.makedirs(output_dir, exist_ok=True)
+
+    app = web.Application()
+    app["config"] = {
+        "repo_id": repo_id,
+        "device": device or "tpu",
+        "batch_size": batch_size,
+        "max_wait_time": max_wait_time,
+        "chunk_size": chunk_size,
+    }
+
+    async def startup(app: web.Application) -> None:
+        manager = TTSServiceManager(
+            repo_id=repo_id,
+            voices_dir=voices_dir,
+            device=device,
+            batch_size=batch_size,
+            max_wait_time=max_wait_time,
+            chunk_size=chunk_size,
+            output_dir=output_dir,
+            pipeline=pipeline,
+        )
+        if register_default_voice:
+            synth = manager.pipeline.synthesizer
+            if not synth.is_voice_loaded("zf_001"):
+                synth.register_random_voice("zf_001", seed=42)
+                logger.warning(
+                    "no zf_001 voice pack found; registered a synthetic "
+                    "voice (provide --voices-dir for real voices)"
+                )
+        await manager.start()
+        app["service_manager"] = manager
+        logger.info("TTS service started")
+
+    async def cleanup(app: web.Application) -> None:
+        manager = app.get("service_manager")
+        if manager is not None:
+            await manager.shutdown()
+
+    app.on_startup.append(startup)
+    app.on_cleanup.append(cleanup)
+
+    async def text_to_speech(request: web.Request) -> web.Response:
+        user = _require_user(request)
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(reason="invalid JSON body")
+        text = body.get("text")
+        if not text:
+            raise web.HTTPBadRequest(reason="missing 'text'")
+        voice_id = body.get("voice_id", "zf_001")
+        speed = float(body.get("speed", 1.0))
+        sequence_id = body.get("sequence_id")
+        cancel_pending = bool(body.get("cancel_pending", False))
+
+        manager: TTSServiceManager = request.app["service_manager"]
+        user_id = user.get("user_id")
+        if cancel_pending and user_id:
+            canceled = await manager.cancel_user_pending_tasks(user_id)
+            logger.info("canceled %d pending tasks for %s", canceled, user_id)
+        result = await _process_tts_request(
+            manager, text, voice_id, user_id, sequence_id, speed
+        )
+        if result["status"] == "error":
+            raise web.HTTPBadRequest(reason=result["error"])
+        return web.json_response(result)
+
+    async def get_voices(request: web.Request) -> web.Response:
+        _require_user(request)
+        manager: TTSServiceManager = request.app["service_manager"]
+        names = manager.pipeline.list_voices() or ["zf_001"]
+        voices = [
+            {"id": n, "name": n, "description": f"voice {n}"} for n in names
+            if not n.startswith("__")
+        ]
+        return web.json_response({"voices": voices})
+
+    async def get_info(request: web.Request) -> web.Response:
+        _require_user(request)
+        cfg = request.app["config"]
+        return web.json_response({
+            "service": "illufly-tts-tpu-service",
+            "version": SERVICE_VERSION,
+            "model": cfg["repo_id"] or "kokoro-82M-class (random init)",
+            "device": cfg["device"],
+            "batch_size": cfg["batch_size"],
+            "max_wait_time": cfg["max_wait_time"],
+            "chunk_size": cfg["chunk_size"],
+        })
+
+    app.router.add_post(f"{prefix}/tts", text_to_speech)
+    app.router.add_get(f"{prefix}/tts/voices", get_voices)
+    app.router.add_get(f"{prefix}/tts/info", get_info)
+    if is_dev_mode():
+        logger.info("dev mode enabled; adding dev endpoints")
+        add_dev_routes(app, prefix)
+    return app
+
+
+def mount_tts_service(app, **kwargs):
+    """FastAPI-compatible mount (works when fastapi is installed; this
+    environment is aiohttp-native — use create_app instead)."""
+    try:
+        from .fastapi_compat import mount_tts_service as mount
+
+        return mount(app, **kwargs)
+    except ImportError as exc:
+        raise ImportError(
+            "fastapi is not installed; use "
+            "illufly_tts_tpu.api.endpoints.create_app for the aiohttp app"
+        ) from exc

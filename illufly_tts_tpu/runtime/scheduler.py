@@ -1,0 +1,265 @@
+# -*- coding: utf-8 -*-
+"""TTSServiceManager: async continuous batcher with per-user fairness.
+
+Semantics parity with the reference scheduler
+(reference: src/illufly_tts/core/service.py:22-442):
+- statuses PENDING/PROCESSING/COMPLETED/CANCELED/FAILED
+- sequence_id ordering per user; ONE task per user per batch
+- fail-fast voice validation at submit
+- batch-level exception marks every batch task FAILED
+- cancel only affects PENDING tasks
+- stream_result yields stored chunks in order (spin-waits while PROCESSING)
+- per-task wav written to output_dir (plus in-memory chunks for the API —
+  the wav write->read round-trip of the reference is no longer needed)
+
+TPU improvement: ``max_wait_time`` actually drives the batching window (the
+reference plumbs it but polls a fixed 100 ms, service.py:250), and batches
+feed the bucketed compiled step so no recompiles occur in steady state.
+"""
+from __future__ import annotations
+
+import asyncio
+import logging
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..audio.wav import save_wav
+from ..pipeline import CachedTTSPipeline
+
+logger = logging.getLogger(__name__)
+
+
+class TaskStatus(str, Enum):
+    PENDING = "pending"
+    PROCESSING = "processing"
+    COMPLETED = "completed"
+    CANCELED = "canceled"
+    FAILED = "failed"
+
+
+@dataclass
+class TTSTask:
+    task_id: str
+    text: str
+    voice_id: str
+    speed: float = 1.0
+    user_id: Optional[str] = None
+    status: TaskStatus = TaskStatus.PENDING
+    created_at: float = field(default_factory=time.time)
+    completed_at: Optional[float] = None
+    error: Optional[str] = None
+    sequence_id: float = field(default_factory=time.time)
+    audio_chunks: List[np.ndarray] = field(default_factory=list)
+    debug_id: Optional[str] = None
+
+    def to_status_dict(self) -> Dict[str, Any]:
+        return {
+            "task_id": self.task_id,
+            "status": self.status.value,
+            "user_id": self.user_id,
+            "created_at": self.created_at,
+            "completed_at": self.completed_at,
+            "error": self.error,
+            "sequence_id": self.sequence_id,
+        }
+
+
+class TTSServiceManager:
+    def __init__(
+        self,
+        repo_id: str = "",
+        voices_dir: Optional[str] = None,
+        device: Optional[str] = None,
+        batch_size: int = 4,
+        max_wait_time: float = 0.1,
+        chunk_size: int = 200,
+        output_dir: Optional[str] = None,
+        pipeline: Optional[CachedTTSPipeline] = None,
+    ):
+        self.batch_size = batch_size
+        self.max_wait_time = max_wait_time
+        self.chunk_size = chunk_size
+        self.output_dir = output_dir
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        self.pipeline = pipeline or CachedTTSPipeline(
+            repo_id=repo_id, voices_dir=voices_dir, device=device
+        )
+        self.tasks: Dict[str, TTSTask] = {}
+        self._loop_task: Optional[asyncio.Task] = None
+        self._shutdown = False
+
+    # --- task API ---------------------------------------------------------------
+
+    async def submit_task(
+        self,
+        text: str,
+        voice_id: str = "zf_001",
+        speed: float = 1.0,
+        user_id: Optional[str] = None,
+        sequence_id: Optional[float] = None,
+    ) -> str:
+        task_id = str(uuid.uuid4())
+        # fail-fast voice validation off the event loop
+        # (reference service.py:89-101)
+        try:
+            await asyncio.to_thread(self.pipeline.load_voice, voice_id)
+        except Exception as exc:
+            task = TTSTask(
+                task_id=task_id, text=text, voice_id=voice_id, speed=speed,
+                user_id=user_id, status=TaskStatus.FAILED,
+                error=f"voice load failed: {exc}",
+            )
+            task.completed_at = time.time()
+            self.tasks[task_id] = task
+            logger.error("task %s failed fast: %s", task_id, exc)
+            return task_id
+
+        task = TTSTask(
+            task_id=task_id, text=text, voice_id=voice_id, speed=speed,
+            user_id=user_id,
+        )
+        if sequence_id is not None:
+            task.sequence_id = float(sequence_id)
+        if os.environ.get("TTS_DEBUG_OUTPUT"):
+            task.debug_id = f"{int(time.time() * 1000)}_{task_id[:8]}"
+        self.tasks[task_id] = task
+        logger.info(
+            "task %s submitted (user=%s seq=%s)", task_id, user_id,
+            task.sequence_id,
+        )
+        return task_id
+
+    async def cancel_task(self, task_id: str) -> bool:
+        task = self.tasks.get(task_id)
+        if task is None or task.status != TaskStatus.PENDING:
+            return False
+        task.status = TaskStatus.CANCELED
+        task.completed_at = time.time()
+        return True
+
+    async def cancel_user_pending_tasks(
+        self, user_id: Optional[str]
+    ) -> int:
+        if not user_id:
+            return 0
+        count = 0
+        for task in self.tasks.values():
+            if task.user_id == user_id and task.status == TaskStatus.PENDING:
+                task.status = TaskStatus.CANCELED
+                task.completed_at = time.time()
+                count += 1
+        return count
+
+    async def get_task_status(self, task_id: str) -> Optional[Dict[str, Any]]:
+        task = self.tasks.get(task_id)
+        return task.to_status_dict() if task else None
+
+    async def get_user_tasks(
+        self, user_id: Optional[str]
+    ) -> List[Dict[str, Any]]:
+        return [
+            t.to_status_dict()
+            for t in self.tasks.values()
+            if t.user_id == user_id
+        ]
+
+    async def stream_result(self, task_id: str):
+        """Async-generate the task's audio chunks in order
+        (reference service.py:179-220)."""
+        task = self.tasks.get(task_id)
+        if task is None:
+            raise ValueError(f"unknown task: {task_id}")
+        while task.status in (TaskStatus.PENDING, TaskStatus.PROCESSING):
+            await asyncio.sleep(0.05)
+        if task.status != TaskStatus.COMPLETED:
+            return
+        for i, chunk in enumerate(task.audio_chunks):
+            if task.debug_id and self.output_dir:
+                debug_path = os.path.join(
+                    self.output_dir, f"debug_{task.debug_id}_chunk{i}.wav"
+                )
+                save_wav(debug_path, chunk, self.pipeline.sample_rate)
+            yield chunk
+
+    # --- batching loop -----------------------------------------------------------
+
+    def _select_batch(self) -> List[TTSTask]:
+        """Group PENDING by user, order by sequence_id, one task per user
+        (reference service.py:253-270)."""
+        pending = [
+            t for t in self.tasks.values() if t.status == TaskStatus.PENDING
+        ]
+        if not pending:
+            return []
+        by_user: Dict[Optional[str], List[TTSTask]] = {}
+        for task in pending:
+            by_user.setdefault(task.user_id, []).append(task)
+        selected = []
+        for user_tasks in by_user.values():
+            user_tasks.sort(key=lambda t: t.sequence_id)
+            selected.append(user_tasks[0])
+        selected.sort(key=lambda t: t.sequence_id)
+        return selected[: self.batch_size]
+
+    async def _batch_processing_loop(self) -> None:
+        logger.info("batch loop started (window=%.3fs)", self.max_wait_time)
+        while not self._shutdown:
+            batch = self._select_batch()
+            if not batch:
+                await asyncio.sleep(self.max_wait_time)
+                continue
+            for task in batch:
+                task.status = TaskStatus.PROCESSING
+            try:
+                texts = [t.text for t in batch]
+                voices = [t.voice_id for t in batch]
+                speeds = [t.speed for t in batch]
+                start = time.time()
+                audios = await asyncio.to_thread(
+                    self.pipeline.batch_process_texts, texts, voices, speeds
+                )
+                elapsed = time.time() - start
+                logger.info(
+                    "batch of %d done in %.3fs", len(batch), elapsed
+                )
+                for task, audio in zip(batch, audios):
+                    task.audio_chunks.append(audio)
+                    if self.output_dir:
+                        path = os.path.join(
+                            self.output_dir, f"{task.task_id}.wav"
+                        )
+                        await asyncio.to_thread(
+                            save_wav, path, audio, self.pipeline.sample_rate
+                        )
+                    task.status = TaskStatus.COMPLETED
+                    task.completed_at = time.time()
+            except Exception as exc:  # batch-level failure policy
+                logger.exception("batch failed: %s", exc)
+                for task in batch:
+                    task.status = TaskStatus.FAILED
+                    task.error = str(exc)
+                    task.completed_at = time.time()
+
+    async def start(self) -> None:
+        if self._loop_task is None:
+            self._shutdown = False
+            self._loop_task = asyncio.create_task(
+                self._batch_processing_loop()
+            )
+
+    async def shutdown(self) -> None:
+        self._shutdown = True
+        if self._loop_task is not None:
+            self._loop_task.cancel()
+            try:
+                await self._loop_task
+            except (asyncio.CancelledError, Exception):
+                pass
+            self._loop_task = None

@@ -1,0 +1,183 @@
+# -*- coding: utf-8 -*-
+"""HTTP API + JWT tests (aiohttp test server, stub pipeline).
+
+Mirrors reference tests/test_jwt_auth.py and
+tests/test_cancel_pending_integration.py behaviors."""
+import base64
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from illufly_tts_tpu.api import jwt_hs256 as jwt
+from illufly_tts_tpu.api.auth import create_access_token, get_jwt_secret_key
+from illufly_tts_tpu.api.endpoints import create_app
+
+
+class FakePipeline:
+    sample_rate = 24000
+
+    def __init__(self):
+        self.synthesizer = self
+
+    # synthesizer duck-typing for default-voice registration
+    def is_voice_loaded(self, voice_id):
+        return True
+
+    def register_random_voice(self, *a, **k):
+        pass
+
+    def load_voice(self, voice_id):
+        return np.zeros((1, 256), np.float32)
+
+    def list_voices(self):
+        return ["zf_001"]
+
+    def batch_process_texts(self, texts, voice_ids, speeds=None):
+        return [np.zeros(2400, np.float32) for _ in texts]
+
+
+class client_ctx:
+    """Async context manager yielding a started TestClient (pytest-asyncio
+    is unavailable, so no async fixtures)."""
+
+    def __init__(self, tmp_path="/tmp/tts_api_test"):
+        import os
+
+        os.makedirs(str(tmp_path), exist_ok=True)
+        os.environ.pop("TTS_DEV_MODE", None)
+        os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+        self._app = create_app(
+            output_dir=str(tmp_path), pipeline=FakePipeline(),
+            max_wait_time=0.02,
+        )
+        self._client = TestClient(TestServer(self._app))
+
+    async def __aenter__(self):
+        await self._client.start_server()
+        return self._client
+
+    async def __aexit__(self, *exc):
+        await self._client.close()
+
+
+def auth_headers(user_id="test_user"):
+    token = create_access_token(user_id)
+    return {"Authorization": f"Bearer {token}"}
+
+
+class TestJWT:
+    def test_roundtrip(self):
+        token = jwt.encode({"user_id": "u", "exp": 9999999999}, "k")
+        assert jwt.decode(token, "k")["user_id"] == "u"
+
+    def test_bad_signature(self):
+        token = jwt.encode({"user_id": "u"}, "k1")
+        with pytest.raises(jwt.InvalidSignatureError):
+            jwt.decode(token, "k2")
+
+    def test_expired(self):
+        token = jwt.encode({"user_id": "u", "exp": 1}, "k")
+        with pytest.raises(jwt.ExpiredSignatureError):
+            jwt.decode(token, "k")
+
+    def test_unverified_decode(self):
+        token = jwt.encode({"user_id": "u"}, "k1")
+        payload = jwt.decode(
+            token, options={"verify_signature": False}
+        )
+        assert payload["user_id"] == "u"
+
+
+async def test_tts_requires_auth():
+    async with client_ctx() as client:
+        resp = await client.post("/api/tts", json={"text": "你好"})
+        assert resp.status == 401
+
+
+async def test_tts_with_bearer_token():
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["status"] == "success"
+        wav = base64.b64decode(data["audio_base64"])
+        assert wav[:4] == b"RIFF"
+        assert data["sample_rate"] == 24000
+
+
+async def test_tts_with_cookie():
+    async with client_ctx() as client:
+        token = create_access_token("cookie_user")
+        client.session.cookie_jar.update_cookies({"access_token": token})
+        resp = await client.post("/api/tts", json={"text": "hello"})
+        assert resp.status == 200
+
+
+async def test_voices_and_info():
+    async with client_ctx() as client:
+        resp = await client.get("/api/tts/voices", headers=auth_headers())
+        assert resp.status == 200
+        voices = (await resp.json())["voices"]
+        assert any(v["id"] == "zf_001" for v in voices)
+        resp2 = await client.get("/api/tts/info", headers=auth_headers())
+        info = await resp2.json()
+        assert info["service"] == "illufly-tts-tpu-service"
+        assert info["batch_size"] == 4
+
+
+async def test_cancel_pending_flag():
+    async with client_ctx() as client:
+        manager = client.app["service_manager"]
+        calls = []
+        orig = manager.cancel_user_pending_tasks
+
+        async def record(user_id):
+            calls.append(user_id)
+            return await orig(user_id)
+
+        manager.cancel_user_pending_tasks = record
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "cancel_pending": True},
+            headers=auth_headers("test_user"),
+        )
+        assert resp.status == 200
+        assert calls == ["test_user"]
+
+
+async def test_dev_mode_bypass(monkeypatch, tmp_path):
+    monkeypatch.setenv("TTS_DEV_MODE", "true")
+    app = create_app(
+        output_dir=str(tmp_path), pipeline=FakePipeline(),
+        max_wait_time=0.02,
+    )
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        # no token at all -> default dev user
+        resp = await client.post("/api/tts", json={"text": "hi"})
+        assert resp.status == 200
+        # dev token endpoint
+        resp2 = await client.post(
+            "/api/dev/token", json={"user_id": "alice"}
+        )
+        assert resp2.status == 200
+        token = (await resp2.json())["access_token"]
+        resp3 = await client.post(
+            "/api/tts", json={"text": "hi"},
+            headers={"Authorization": f"Bearer {token}"},
+        )
+        assert resp3.status == 200
+        resp4 = await client.get("/api/dev/status")
+        assert (await resp4.json())["dev_mode"] is True
+    finally:
+        await client.close()
+
+
+async def test_bad_request():
+    async with client_ctx() as client:
+        resp = await client.post("/api/tts", json={}, headers=auth_headers())
+        assert resp.status == 400

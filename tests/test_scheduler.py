@@ -1,0 +1,186 @@
+# -*- coding: utf-8 -*-
+"""Scheduler semantics tests — mirrors the reference's
+tests/test_task_ordering.py + test_integration.py behaviors."""
+import asyncio
+
+import numpy as np
+import pytest
+
+from illufly_tts_tpu.runtime.scheduler import (
+    TaskStatus,
+    TTSServiceManager,
+    TTSTask,
+)
+
+
+class FakePipeline:
+    """Stands in for CachedTTSPipeline (no model)."""
+
+    sample_rate = 24000
+
+    def __init__(self, delay: float = 0.05):
+        self.delay = delay
+        self.calls = []
+
+    def load_voice(self, voice_id):
+        if voice_id == "bad_voice":
+            raise ValueError("no such voice")
+        return np.zeros((1, 256), np.float32)
+
+    def batch_process_texts(self, texts, voice_ids, speeds=None):
+        import time
+
+        time.sleep(self.delay)
+        self.calls.append(list(texts))
+        return [np.zeros(2400, np.float32) for _ in texts]
+
+
+def make_manager(**kw):
+    return TTSServiceManager(pipeline=FakePipeline(), max_wait_time=0.02, **kw)
+
+
+async def wait_status(manager, task_id, target, timeout=5.0):
+    deadline = asyncio.get_event_loop().time() + timeout
+    while asyncio.get_event_loop().time() < deadline:
+        status = await manager.get_task_status(task_id)
+        if status["status"] == target:
+            return status
+        await asyncio.sleep(0.01)
+    raise TimeoutError(f"{task_id} never reached {target}")
+
+
+async def test_submit_and_complete():
+    manager = make_manager()
+    await manager.start()
+    try:
+        task_id = await manager.submit_task("你好", "v1", user_id="u1")
+        status = await wait_status(manager, task_id, "completed")
+        assert status["completed_at"] is not None
+        assert manager.tasks[task_id].audio_chunks
+    finally:
+        await manager.shutdown()
+
+
+async def test_voice_fail_fast():
+    manager = make_manager()
+    task_id = await manager.submit_task("hi", "bad_voice")
+    status = await manager.get_task_status(task_id)
+    assert status["status"] == "failed"
+    assert "voice" in status["error"]
+
+
+async def test_sequence_ordering_within_user():
+    manager = make_manager(batch_size=1)
+    # three tasks from one user with out-of-order sequence ids
+    t3 = await manager.submit_task("c", "v", user_id="u", sequence_id=3)
+    t1 = await manager.submit_task("a", "v", user_id="u", sequence_id=1)
+    t2 = await manager.submit_task("b", "v", user_id="u", sequence_id=2)
+    order = []
+    orig = manager.pipeline.batch_process_texts
+
+    def record(texts, voices, speeds=None):
+        order.extend(texts)
+        return orig(texts, voices, speeds)
+
+    manager.pipeline.batch_process_texts = record
+    await manager.start()
+    try:
+        for t in (t1, t2, t3):
+            await wait_status(manager, t, "completed")
+        assert order == ["a", "b", "c"]
+    finally:
+        await manager.shutdown()
+
+
+async def test_one_task_per_user_per_batch():
+    manager = make_manager(batch_size=4)
+    # user A floods; user B submits one later task
+    a_tasks = [
+        await manager.submit_task(f"a{i}", "v", user_id="A", sequence_id=i)
+        for i in range(3)
+    ]
+    b_task = await manager.submit_task("b0", "v", user_id="B", sequence_id=10)
+    batches = []
+    orig = manager.pipeline.batch_process_texts
+
+    def record(texts, voices, speeds=None):
+        batches.append(list(texts))
+        return orig(texts, voices, speeds)
+
+    manager.pipeline.batch_process_texts = record
+    await manager.start()
+    try:
+        await wait_status(manager, b_task, "completed")
+        for t in a_tasks:
+            await wait_status(manager, t, "completed")
+        # first batch contains at most one task from each user
+        first = batches[0]
+        assert sum(1 for t in first if t.startswith("a")) <= 1
+        assert any("b0" in batch for batch in batches[:2])
+    finally:
+        await manager.shutdown()
+
+
+async def test_cancel_pending():
+    manager = make_manager()
+    t1 = await manager.submit_task("x", "v", user_id="u1")
+    t2 = await manager.submit_task("y", "v", user_id="u1")
+    t3 = await manager.submit_task("z", "v", user_id="u2")
+    count = await manager.cancel_user_pending_tasks("u1")
+    assert count == 2
+    assert (await manager.get_task_status(t1))["status"] == "canceled"
+    assert (await manager.get_task_status(t2))["status"] == "canceled"
+    assert (await manager.get_task_status(t3))["status"] == "pending"
+    assert await manager.cancel_user_pending_tasks(None) == 0
+    assert await manager.cancel_user_pending_tasks("") == 0
+
+
+async def test_cancel_only_pending():
+    manager = make_manager()
+    await manager.start()
+    try:
+        t = await manager.submit_task("x", "v", user_id="u")
+        await wait_status(manager, t, "completed")
+        assert not await manager.cancel_task(t)
+    finally:
+        await manager.shutdown()
+
+
+async def test_batch_failure_marks_all_failed():
+    manager = make_manager()
+
+    def boom(texts, voices, speeds=None):
+        raise RuntimeError("kaboom")
+
+    manager.pipeline.batch_process_texts = boom
+    t1 = await manager.submit_task("x", "v", user_id="u1")
+    t2 = await manager.submit_task("y", "v", user_id="u2")
+    await manager.start()
+    try:
+        s1 = await wait_status(manager, t1, "failed")
+        s2 = await wait_status(manager, t2, "failed")
+        assert "kaboom" in s1["error"]
+        assert "kaboom" in s2["error"]
+    finally:
+        await manager.shutdown()
+
+
+async def test_stream_result():
+    manager = make_manager()
+    await manager.start()
+    try:
+        t = await manager.submit_task("x", "v", user_id="u")
+        chunks = [c async for c in manager.stream_result(t)]
+        assert len(chunks) == 1
+        assert chunks[0].size == 2400
+    finally:
+        await manager.shutdown()
+
+
+async def test_get_user_tasks():
+    manager = make_manager()
+    await manager.submit_task("x", "v", user_id="u1")
+    await manager.submit_task("y", "v", user_id="u1")
+    await manager.submit_task("z", "v", user_id="u2")
+    tasks = await manager.get_user_tasks("u1")
+    assert len(tasks) == 2
