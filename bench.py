@@ -6,15 +6,26 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric: synthesized audio seconds per wall-clock second per chip at batch 32
-(the BASELINE.md north star is >50x realtime/chip; the reference publishes no
-numbers of its own, so vs_baseline is value/50).
+(BASELINE.md north star: >50x realtime/chip; the reference publishes no
+numbers of its own, so vs_baseline = value / 50).
+
+Shapes mirror real serving: ~10 s utterances (frame bucket 512 at 40
+duration-frames/s), 256-token phoneme bucket — the chunk_size=200 regime the
+reference serves (SURVEY §6). Durations from the random-init model are
+clamped into the frame budget; throughput is shape-determined, not
+weight-determined.
 """
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main() -> None:
@@ -24,37 +35,42 @@ def main() -> None:
     from illufly_tts_tpu.engine.synthesizer import Synthesizer
     from illufly_tts_tpu.model.config import KokoroConfig
 
+    batch = 32
+    frames = 512          # 12.8 s of audio per utterance at 40 frames/s
     cfg = KokoroConfig(dtype=jnp.bfloat16)
+
+    log(f"platform={jax.devices()[0].platform} building synthesizer...")
     synth = Synthesizer(
         config=cfg,
         token_buckets=(256,),
-        frame_buckets=(512, 1024, 2048),
+        frame_buckets=(frames,),
     )
     synth.register_random_voice("bench_voice", seed=7)
 
-    batch = 32
-    # ~250-phoneme zh-style IPA utterances (the 510-cap regime the reference
-    # serves, pipeline.py:191)
     base = "ni↗xau↓ma, tsʰɤ↘ʂɨ↘i↗kɤ↘tʰəst. "
     text = (base * 12)[:250]
     texts = [text] * batch
     voices = ["bench_voice"] * batch
 
-    # warmup / compile
-    for _ in range(2):
-        out = synth.synthesize_batch(texts, voices)
-    jax.block_until_ready(jnp.zeros(()))
+    log("compiling (warmup)...")
+    t0 = time.perf_counter()
+    out = synth.synthesize_batch(texts, voices)
+    log(f"first call (compile) took {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    out = synth.synthesize_batch(texts, voices)
+    log(f"second call took {time.perf_counter() - t0:.2f}s")
 
     iters = 5
     start = time.perf_counter()
     total_samples = 0
-    for _ in range(iters):
+    for i in range(iters):
         out = synth.synthesize_batch(texts, voices)
         total_samples += sum(a.size for a in out)
+        log(f"iter {i + 1}/{iters}")
     elapsed = time.perf_counter() - start
 
     audio_seconds = total_samples / synth.sample_rate
-    throughput = audio_seconds / elapsed  # x realtime per chip
+    throughput = audio_seconds / elapsed
     rtf = elapsed / audio_seconds
 
     result = {
@@ -63,8 +79,9 @@ def main() -> None:
         "unit": "x_realtime",
         "vs_baseline": round(throughput / 50.0, 3),
         "detail": {
-            "rtf": round(rtf, 5),
+            "rtf": round(rtf, 6),
             "batch": batch,
+            "frame_bucket": frames,
             "phonemes_per_utt": len(text),
             "iters": iters,
             "elapsed_s": round(elapsed, 3),

@@ -10,6 +10,10 @@ import sys
 
 import click
 
+from .utils.env import load_dotenv
+
+load_dotenv()
+
 logging.basicConfig(
     level=logging.INFO,
     format="%(asctime)s [%(levelname)s] %(name)s: %(message)s",
@@ -33,13 +37,23 @@ def cli():
 @click.option("--chunk-size", default=200, type=int, help="long-text chunk chars")
 @click.option("--output-dir", default=None, help="wav output directory")
 @click.option("--debug-output", is_flag=True, help="dump per-task debug wavs")
+@click.option("--zh-dict", default=None, help="custom zh pronunciation dict")
+@click.option("--en-dict", default=None, help="custom en pronunciation dict")
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
-          chunk_size, output_dir, debug_output):
+          chunk_size, output_dir, debug_output, zh_dict, en_dict):
     """Start the TTS HTTP service."""
     from aiohttp import web
 
     from .api.endpoints import create_app
 
+    if zh_dict:
+        from .frontend.g2p.custom_dict import load_zh_dict
+
+        load_zh_dict(zh_dict)
+    if en_dict:
+        from .frontend.g2p.custom_dict import load_en_dict
+
+        load_en_dict(en_dict)
     if debug_output:
         os.environ["TTS_DEBUG_OUTPUT"] = "1"
     if os.environ.get("TTS_DEV_MODE", "").lower() in ("1", "true", "yes"):

@@ -14,7 +14,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Tuple
 
-from .data import PINYIN_TABLE
+from .data import PINYIN_SUPPLEMENT, PINYIN_TABLE
 from .phrases import DEFAULTS, PHRASES
 
 _CJK = re.compile(r"[㐀-鿿]")
@@ -42,7 +42,8 @@ _EXPAND = {"iu": "iou", "ui": "uei", "un": "uen"}
 
 def _build_tables() -> Tuple[Dict[str, List[str]], Dict[str, str]]:
     readings: Dict[str, List[str]] = {}
-    for line in PINYIN_TABLE.strip().splitlines():
+    table = PINYIN_TABLE + "\n" + PINYIN_SUPPLEMENT
+    for line in table.strip().splitlines():
         parts = line.split(None, 1)
         if len(parts) != 2:
             continue

@@ -44,6 +44,7 @@ DEFAULTS = {
     "这": "zhe4",
     "谁": "shei2",
     "什": "shen2",
+    "率": "lv4",
 }
 
 # Word-level pinyin overrides (word -> space-separated readings).
@@ -444,6 +445,15 @@ _PHRASES_RAW = """
 糊涂 hu2 tu5
 糊口 hu2 kou3
 糨糊 jiang4 hu4
+率领 shuai4 ling3
+率先 shuai4 xian1
+率队 shuai4 dui4
+直率 zhi2 shuai4
+坦率 tan3 shuai4
+轻率 qing1 shuai4
+草率 cao3 shuai4
+表率 biao3 shuai4
+统率 tong3 shuai4
 """
 
 PHRASES = {}

@@ -1,0 +1,71 @@
+# -*- coding: utf-8 -*-
+"""Custom dictionaries, dotenv, WAV round-trip, mel metrics, profiling."""
+import numpy as np
+
+from illufly_tts_tpu.audio.mel import mel_l1, mel_spectrogram
+from illufly_tts_tpu.audio.wav import decode_wav, encode_wav
+from illufly_tts_tpu.frontend.g2p.custom_dict import load_en_dict, load_zh_dict
+from illufly_tts_tpu.utils.env import load_dotenv
+from illufly_tts_tpu.utils.profiling import StageTimers
+
+
+def test_wav_roundtrip():
+    audio = np.sin(np.linspace(0, 100, 24000)).astype(np.float32) * 0.5
+    data = encode_wav(audio, 24000)
+    decoded, rate = decode_wav(data)
+    assert rate == 24000
+    np.testing.assert_allclose(decoded, audio, atol=1e-3)
+
+
+def test_mel_l1_zero_for_identical():
+    audio = np.random.RandomState(0).randn(24000).astype(np.float32)
+    assert mel_l1(audio, audio) == 0.0
+    other = np.random.RandomState(1).randn(24000).astype(np.float32)
+    assert mel_l1(audio, other) > 0.0
+
+
+def test_mel_shape():
+    audio = np.zeros(24000, np.float32)
+    mel = mel_spectrogram(audio)
+    assert mel.shape[0] == 80
+
+
+def test_custom_zh_dict(tmp_path):
+    path = tmp_path / "zh.txt"
+    path.write_text("# comment\n测词 ce4 ci2\n坏行 huai4 xing2\n", encoding="utf-8")
+    added = load_zh_dict(str(path))
+    assert added["测词"] == ["ce4", "ci2"]
+    from illufly_tts_tpu.frontend.g2p.pinyin.engine import word_pinyin
+
+    assert word_pinyin("测词") == ["ce4", "ci2"]
+
+
+def test_custom_en_dict(tmp_path):
+    path = tmp_path / "en.txt"
+    path.write_text("kokoro koʊkoʊɹoʊ\n", encoding="utf-8")
+    load_en_dict(str(path))
+    from illufly_tts_tpu.frontend.g2p.en_g2p import EnglishG2P
+
+    assert EnglishG2P().word_to_ipa("Kokoro") == "koʊkoʊɹoʊ"
+
+
+def test_dotenv(tmp_path, monkeypatch):
+    path = tmp_path / ".env"
+    path.write_text('FOO_TEST_VAR="bar"\n# comment\nBAZ=1\n')
+    monkeypatch.delenv("FOO_TEST_VAR", raising=False)
+    count = load_dotenv(str(path))
+    import os
+
+    assert count >= 1
+    assert os.environ["FOO_TEST_VAR"] == "bar"
+
+
+def test_stage_timers():
+    timers = StageTimers()
+    with timers.track("g2p"):
+        pass
+    with timers.track("g2p"):
+        pass
+    snap = timers.snapshot()
+    assert snap["g2p"]["count"] == 2
+    assert snap["g2p"]["total_s"] >= 0
