@@ -64,12 +64,34 @@ class Synthesizer:
     # --- parameters ----------------------------------------------------------
 
     def _random_init(self, seed: int):
+        """Host-side random init via eval_shape — no device compile (a full
+        model.init graph takes minutes through the remote TPU compiler)."""
         ids = jnp.zeros((1, 8), jnp.int32)
         mask = jnp.ones((1, 8), jnp.float32)
         ref = jnp.zeros((1, 2 * self.config.style_dim), jnp.float32)
-        return self.model.init(
-            jax.random.PRNGKey(seed), ids, mask, ref, num_frames=16
+        shapes = jax.eval_shape(
+            partial(self.model.init, num_frames=16),
+            jax.random.PRNGKey(seed), ids, mask, ref,
         )
+        rng = np.random.RandomState(seed)
+
+        def init_leaf(path, shape_struct):
+            name = "/".join(
+                str(p.key) for p in path if hasattr(p, "key")
+            ).lower()
+            shape = shape_struct.shape
+            dtype = shape_struct.dtype
+            if "alpha" in name or name.endswith("scale"):
+                return jnp.ones(shape, dtype)
+            if name.endswith("bias") or len(shape) <= 1:
+                return jnp.zeros(shape, dtype)
+            fan_in = int(np.prod(shape[:-1])) or 1
+            std = 1.0 / np.sqrt(fan_in)
+            return jnp.asarray(
+                rng.randn(*shape).astype(np.float32) * std, dtype
+            )
+
+        return jax.tree_util.tree_map_with_path(init_leaf, shapes)
 
     def save_params(self, path: str) -> None:
         from flax import serialization

@@ -22,6 +22,7 @@ def hann(n: int) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def _bases(n_fft: int):
+    """Pure numpy (host) — never cache traced values (lru_cache + jit)."""
     k = np.arange(n_fft // 2 + 1)
     n = np.arange(n_fft)
     angle = 2.0 * np.pi * np.outer(n, k) / n_fft          # [n_fft, K]
@@ -35,10 +36,10 @@ def _bases(n_fft: int):
     inv_cos = np.cos(angle) * w                            # [n_fft, K]
     inv_sin = -np.sin(angle) * w
     return (
-        jnp.asarray(fwd_cos, jnp.float32),
-        jnp.asarray(fwd_sin, jnp.float32),
-        jnp.asarray(inv_cos.T, jnp.float32),               # [K, n_fft]
-        jnp.asarray(inv_sin.T, jnp.float32),
+        np.asarray(fwd_cos, np.float32),
+        np.asarray(fwd_sin, np.float32),
+        np.asarray(inv_cos.T, np.float32),                 # [K, n_fft]
+        np.asarray(inv_sin.T, np.float32),
     )
 
 
