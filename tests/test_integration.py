@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""End-to-end integration: text -> normalize -> G2P -> model -> wav,
+and scheduler lifecycle over the real (tiny) model
+(mirrors reference tests/test_integration.py intent)."""
+import asyncio
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from illufly_tts_tpu.engine.synthesizer import Synthesizer
+from illufly_tts_tpu.pipeline import CachedTTSPipeline, TTSPipeline
+from illufly_tts_tpu.runtime.scheduler import TTSServiceManager
+from tests.test_model import tiny_config
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    synth = Synthesizer(
+        config=tiny_config(),
+        token_buckets=(32, 64),
+        frame_buckets=(64, 128),
+    )
+    synth.register_random_voice("zf_001", seed=11)
+    return CachedTTSPipeline(synthesizer=synth)
+
+
+def test_process_zh(pipe, tmp_path):
+    out = str(tmp_path / "out.wav")
+    audio = pipe.process("你好，这是一个测试。", voice_id="zf_001",
+                         output_path=out)
+    assert audio.size > 0
+    assert np.all(np.isfinite(audio))
+    assert os.path.exists(out)
+    from illufly_tts_tpu.audio.wav import load_wav
+
+    loaded, rate = load_wav(out)
+    assert rate == 24000
+    assert loaded.size == audio.size
+
+
+def test_process_mixed(pipe):
+    audio = pipe.process("今天是May 10th，气温25°C。", voice_id="zf_001")
+    assert audio.size > 0
+
+
+def test_process_segmented(pipe):
+    text = "第一句话。第二句话！第三句话？"
+    audio = pipe.process(text, voice_id="zf_001", segment_text=True)
+    assert audio.size > 0
+
+
+def test_batch_process_texts(pipe):
+    audios = pipe.batch_process_texts(
+        ["你好。", "再见。"], ["zf_001", "zf_001"]
+    )
+    assert len(audios) == 2
+    assert all(a.size > 0 for a in audios)
+
+
+def test_audio_cache_hit(pipe):
+    a1 = pipe.batch_process_texts(["缓存测试。"], ["zf_001"])
+    a2 = pipe.batch_process_texts(["缓存测试。"], ["zf_001"])
+    np.testing.assert_array_equal(a1[0], a2[0])
+    # the second call short-circuits on the audio cache (no re-preprocess)
+    assert any(k.startswith("audio:") for k in pipe._audio_cache)
+    assert pipe.get_cache_stats()["text_misses"] >= 1
+
+
+def test_stream_batch_process(pipe):
+    texts = ["第一句。第二句。", "只有一句。"]
+    batches = list(pipe.stream_batch_process(texts, ["zf_001"] * 2,
+                                             chunk_size=6))
+    assert len(batches) >= 1
+    # first batch covers both texts; later batches drop the short one
+    assert len(batches[0]) == 2
+
+
+async def test_scheduler_end_to_end(pipe, tmp_path):
+    manager = TTSServiceManager(
+        pipeline=pipe, output_dir=str(tmp_path), max_wait_time=0.02
+    )
+    await manager.start()
+    try:
+        task_id = await manager.submit_task("集成测试。", "zf_001", user_id="u")
+        for _ in range(600):
+            status = await manager.get_task_status(task_id)
+            if status["status"] in ("completed", "failed"):
+                break
+            await asyncio.sleep(0.05)
+        assert status["status"] == "completed", status
+        assert os.path.exists(str(tmp_path / f"{task_id}.wav"))
+    finally:
+        await manager.shutdown()
+
+
+def test_bf16_forward_finite():
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config(), dtype=jnp.bfloat16)
+    synth = Synthesizer(config=cfg, token_buckets=(32,), frame_buckets=(64,))
+    synth.register_random_voice("v", seed=1)
+    audio = synth.synthesize_batch(["ni→xau↓ma"], ["v"])[0]
+    assert audio.dtype == np.float32
+    assert np.all(np.isfinite(audio))
