@@ -14,12 +14,16 @@ import numpy as np
 
 
 def encode_wav(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
-    """float32 [-1, 1]-ish waveform -> 16-bit PCM WAV bytes."""
-    audio = np.asarray(audio, np.float32)
-    peak = np.max(np.abs(audio)) if audio.size else 0.0
-    if peak > 1.0:
-        audio = audio / peak
-    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+    """Waveform (float32 [-1,1]-ish, or already-int16 PCM) -> WAV bytes."""
+    audio = np.asarray(audio)
+    if audio.dtype == np.int16:
+        pcm = audio.astype("<i2")
+    else:
+        audio = audio.astype(np.float32)
+        peak = np.max(np.abs(audio)) if audio.size else 0.0
+        if peak > 1.0:
+            audio = audio / peak
+        pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)

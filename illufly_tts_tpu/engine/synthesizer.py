@@ -189,13 +189,14 @@ class Synthesizer:
             self._stage_a[key] = jax.jit(run)
         return self._stage_a[key]
 
-    def _get_stage_b(self, batch: int, tokens: int, frames: int):
-        key = (batch, tokens, frames)
+    def _get_stage_b(self, batch: int, tokens: int, frames: int,
+                     pcm16: bool = True):
+        key = (batch, tokens, frames, pcm16)
         if key not in self._stage_b:
             def run(params, ids, mask, d, pred_dur, ref_s):
                 return self.model.apply(
                     params, ids, mask, d, pred_dur, ref_s, frames,
-                    method=KokoroModel.decode_frames,
+                    pcm16=pcm16, method=KokoroModel.decode_frames,
                 )
 
             self._stage_b[key] = jax.jit(run)
@@ -208,8 +209,12 @@ class Synthesizer:
         phonemes_list: Sequence[str],
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
+        pcm16: bool = False,
     ) -> List[np.ndarray]:
-        """IPA phoneme strings -> list of float32 waveforms at 24 kHz."""
+        """IPA phoneme strings -> list of waveforms at 24 kHz.
+
+        The device always emits 16-bit PCM (halves the host transfer);
+        ``pcm16=False`` converts back to float32 on the host."""
         n = len(phonemes_list)
         if n == 0:
             return []
@@ -250,18 +255,21 @@ class Synthesizer:
         f_bucket = pick(self.frame_buckets, int(totals[:n].max()))
         pred_dur = _fit_durations(pred_dur, f_bucket)
 
-        stage_b = self._get_stage_b(b_bucket, t_bucket, f_bucket)
+        stage_b = self._get_stage_b(b_bucket, t_bucket, f_bucket, pcm16=True)
         audio, _ = stage_b(
             self.params, jnp.asarray(ids), jnp.asarray(mask), d, pred_dur,
             jnp.asarray(ref_s),
         )
-        audio_np = np.asarray(audio)
+        audio_np = np.asarray(audio)  # int16, 2 bytes/sample over the wire
         fitted_totals = np.asarray(pred_dur.sum(axis=-1))
         spf = self.config.samples_per_frame
-        return [
-            audio_np[i, : int(fitted_totals[i]) * spf].astype(np.float32)
-            for i in range(n)
-        ]
+        out = []
+        for i in range(n):
+            clip = audio_np[i, : int(fitted_totals[i]) * spf]
+            if not pcm16:
+                clip = clip.astype(np.float32) / 32767.0
+            out.append(clip)
+        return out
 
     def warmup(
         self,

@@ -50,6 +50,9 @@ class KokoroConfig:
     istftnet: IstftNetConfig = IstftNetConfig()
     # compute dtype for matmul-heavy paths; params stay float32
     dtype: jnp.dtype = jnp.float32
+    # use the fused Pallas iSTFT kernel in the vocoder (TPU; the jnp
+    # reference path is used when False, e.g. CPU tests)
+    use_pallas_istft: bool = False
 
     @property
     def samples_per_frame(self) -> int:

@@ -78,6 +78,7 @@ class KokoroModel(nn.Module):
         ref_s: jnp.ndarray,         # [B, 256]
         num_frames: int,
         rng: Optional[jax.Array] = None,
+        pcm16: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
@@ -92,7 +93,15 @@ class KokoroModel(nn.Module):
 
         audio = self.decoder(asr, f0, n_energy, dec_style, fmask, rng)
         sample_mask = jnp.repeat(fmask, cfg.samples_per_frame, axis=1)
-        return audio * sample_mask, fmask
+        audio = audio * sample_mask
+        if pcm16:
+            # on-device 16-bit PCM (halves host transfer; matches the WAV
+            # encoder's peak-normalize-if-clipping policy)
+            peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
+            scale = jnp.where(peak > 1.0, 1.0 / jnp.maximum(peak, 1e-9), 1.0)
+            audio = jnp.clip(audio * scale, -1.0, 1.0)
+            audio = jnp.round(audio * 32767.0).astype(jnp.int16)
+        return audio, fmask
 
     # ---- combined (training / compile checks) -------------------------------
 

@@ -139,6 +139,10 @@ class Generator(nn.Module):
         x = x.astype(jnp.float32)
         mag = jnp.exp(jnp.clip(x[..., : n_fft // 2 + 1], -12.0, 8.0))
         phase = math.pi * jnp.sin(x[..., n_fft // 2 + 1:])
+        if self.config.use_pallas_istft:
+            from ..ops.pallas.istft_oa import istft_pallas
+
+            return istft_pallas(mag, phase, n_fft, hop)
         audio = istft(mag, phase, n_fft, hop)
         # trim iSTFT tail so audio length == frames * hop
         return audio[:, : x.shape[1] * hop]

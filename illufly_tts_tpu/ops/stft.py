@@ -44,9 +44,19 @@ def _bases(n_fft: int):
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
-    """x [B, L] -> frames [B, F, n_fft], F = (L - n_fft)//hop + 1."""
+    """x [B, L] -> frames [B, F, n_fft], F = (L - n_fft)//hop + 1.
+
+    When hop divides n_fft, framing is pure reshape+slice (no gather —
+    gathers of F*n_fft indices lower poorly on TPU)."""
     batch, length = x.shape
     num_frames = (length - n_fft) // hop + 1
+    if n_fft % hop == 0:
+        chunks = n_fft // hop
+        rows = num_frames + chunks - 1
+        y = x[:, : rows * hop].reshape(batch, rows, hop)
+        return jnp.concatenate(
+            [y[:, c: c + num_frames] for c in range(chunks)], axis=-1
+        )
     idx = (
         jnp.arange(num_frames)[:, None] * hop + jnp.arange(n_fft)[None, :]
     )
