@@ -60,12 +60,20 @@ def main() -> None:
     out = synth.synthesize_batch(texts, voices)
     log(f"second call took {time.perf_counter() - t0:.2f}s")
 
-    iters = 5
+    # pipelined serving loop: keep one batch in flight so the host download
+    # (PCIe on real hosts; a slow relay in this dev environment) overlaps
+    # with the next batch's device compute
+    iters = 8
     start = time.perf_counter()
     total_samples = 0
+    in_flight = synth.dispatch(texts, voices)
     for i in range(iters):
-        out = synth.synthesize_batch(texts, voices)
+        next_handle = (
+            synth.dispatch(texts, voices) if i + 1 < iters else None
+        )
+        out = synth.collect(in_flight, pcm16=True)
         total_samples += sum(a.size for a in out)
+        in_flight = next_handle
         log(f"iter {i + 1}/{iters}")
     elapsed = time.perf_counter() - start
 

@@ -204,20 +204,17 @@ class Synthesizer:
 
     # --- synthesis -------------------------------------------------------------
 
-    def synthesize_batch(
+    def dispatch(
         self,
         phonemes_list: Sequence[str],
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
-        pcm16: bool = False,
-    ) -> List[np.ndarray]:
-        """IPA phoneme strings -> list of waveforms at 24 kHz.
-
-        The device always emits 16-bit PCM (halves the host transfer);
-        ``pcm16=False`` converts back to float32 on the host."""
+    ):
+        """Stage the batch and launch both compiled stages (async). Returns
+        an opaque handle for ``collect``. With a single frame bucket the
+        whole launch is sync-free; with several, one scalar readback picks
+        the bucket."""
         n = len(phonemes_list)
-        if n == 0:
-            return []
         if speeds is None:
             speeds = [1.0] * n
 
@@ -243,24 +240,31 @@ class Synthesizer:
             ref_s[i] = np.asarray(pack[max(row, 0)])
             speed_arr[i] = speeds[i]
 
+        ids_d = jnp.asarray(ids)
+        mask_d = jnp.asarray(mask)
+        ref_d = jnp.asarray(ref_s)
         stage_a = self._get_stage_a(b_bucket, t_bucket)
         duration, d = stage_a(
-            self.params, jnp.asarray(ids), jnp.asarray(mask),
-            jnp.asarray(ref_s), jnp.asarray(speed_arr),
+            self.params, ids_d, mask_d, ref_d, jnp.asarray(speed_arr)
         )
-        pred_dur = KokoroModel.quantize_durations(
-            duration, jnp.asarray(mask)
-        )
-        totals = np.asarray(pred_dur.sum(axis=-1))
-        f_bucket = pick(self.frame_buckets, int(totals[:n].max()))
+        pred_dur = KokoroModel.quantize_durations(duration, mask_d)
+        if len(self.frame_buckets) == 1:
+            f_bucket = self.frame_buckets[0]
+        else:
+            totals = np.asarray(pred_dur.sum(axis=-1))  # scalar readback
+            f_bucket = pick(self.frame_buckets, int(totals[:n].max()))
         pred_dur = _fit_durations(pred_dur, f_bucket)
 
         stage_b = self._get_stage_b(b_bucket, t_bucket, f_bucket, pcm16=True)
         audio, _ = stage_b(
-            self.params, jnp.asarray(ids), jnp.asarray(mask), d, pred_dur,
-            jnp.asarray(ref_s),
+            self.params, ids_d, mask_d, d, pred_dur, ref_d
         )
-        audio_np = np.asarray(audio)  # int16, 2 bytes/sample over the wire
+        return n, audio, pred_dur
+
+    def collect(self, handle, pcm16: bool = False) -> List[np.ndarray]:
+        """Fetch a dispatched batch's audio to host and trim per item."""
+        n, audio, pred_dur = handle
+        audio_np = np.asarray(audio)  # int16: 2 bytes/sample on the wire
         fitted_totals = np.asarray(pred_dur.sum(axis=-1))
         spf = self.config.samples_per_frame
         out = []
@@ -270,6 +274,22 @@ class Synthesizer:
                 clip = clip.astype(np.float32) / 32767.0
             out.append(clip)
         return out
+
+    def synthesize_batch(
+        self,
+        phonemes_list: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+        pcm16: bool = False,
+    ) -> List[np.ndarray]:
+        """IPA phoneme strings -> list of waveforms at 24 kHz.
+
+        The device always emits 16-bit PCM (halves the host transfer);
+        ``pcm16=False`` converts back to float32 on the host."""
+        if not phonemes_list:
+            return []
+        handle = self.dispatch(phonemes_list, voice_ids, speeds)
+        return self.collect(handle, pcm16=pcm16)
 
     def warmup(
         self,

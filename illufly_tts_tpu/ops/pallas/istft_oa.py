@@ -79,11 +79,10 @@ def _kernel(mag_hbm, phase_hbm, env_ref, cos_ref, sin_ref, out_ref,
         re, cos_ref[:], preferred_element_type=jnp.float32
     ) + jnp.dot(im, sin_ref[:], preferred_element_type=jnp.float32)
 
-    total = fpb * hop
     acc = jnp.zeros((fpb, hop), jnp.float32)
     for j in range(chunks):
         acc = acc + frames[halo - j: halo - j + fpb, j * hop:(j + 1) * hop]
-    out_ref[:] = acc.reshape(1, total) * env_ref[:]
+    out_ref[0] = acc * env_ref[:]
 
 
 @partial(jax.jit, static_argnames=("n_fft", "hop", "frames_per_block",
@@ -103,7 +102,9 @@ def istft_pallas(
     assert k == n_fft // 2 + 1, (k, n_fft)
     chunks = n_fft // hop
     halo = chunks - 1
+    # Mosaic tiling: block sublane dims must be multiples of 8
     fpb = min(frames_per_block, num_frames)
+    fpb = max(128, -(-fpb // 128) * 128)
     grid_f = pl.cdiv(num_frames, fpb)
     pad_tail = grid_f * fpb - num_frames
 
@@ -114,7 +115,7 @@ def istft_pallas(
         phase.astype(jnp.float32), ((0, 0), (halo, pad_tail), (0, 0))
     )
     env = jnp.asarray(_envelope(num_frames, n_fft, hop))
-    env_p = jnp.pad(env, (0, pad_tail * hop)).reshape(grid_f, fpb * hop)
+    env_p = jnp.pad(env, (0, pad_tail * hop)).reshape(grid_f * fpb, hop)
     cos_b, sin_b = _host_bases(n_fft)
 
     out = pl.pallas_call(
@@ -124,17 +125,17 @@ def istft_pallas(
             pl.BlockSpec(memory_space=pl.ANY),   # mag stays in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # phase stays in HBM
             pl.BlockSpec(
-                (1, fpb * hop), lambda b, f: (f, 0),
+                (fpb, hop), lambda b, f: (f, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # cos basis
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sin basis
         ],
         out_specs=pl.BlockSpec(
-            (1, fpb * hop), lambda b, f: (b, f), memory_space=pltpu.VMEM
+            (1, fpb, hop), lambda b, f: (b, f, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (batch, grid_f * fpb * hop), jnp.float32
+            (batch, grid_f * fpb, hop), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((fpb + halo, k), jnp.float32),
@@ -143,4 +144,5 @@ def istft_pallas(
         ],
         interpret=interpret,
     )(mag_p, phase_p, env_p, jnp.asarray(cos_b), jnp.asarray(sin_b))
+    out = out.reshape(batch, grid_f * fpb * hop)
     return out[:, : num_frames * hop]
