@@ -187,9 +187,15 @@ def create_app(
             "chunk_size": cfg["chunk_size"],
         })
 
+    async def get_stats(request: web.Request) -> web.Response:
+        _require_user(request)
+        manager: TTSServiceManager = request.app["service_manager"]
+        return web.json_response(manager.stats())
+
     app.router.add_post(f"{prefix}/tts", text_to_speech)
     app.router.add_get(f"{prefix}/tts/voices", get_voices)
     app.router.add_get(f"{prefix}/tts/info", get_info)
+    app.router.add_get(f"{prefix}/tts/stats", get_stats)
     if is_dev_mode():
         logger.info("dev mode enabled; adding dev endpoints")
         add_dev_routes(app, prefix)

@@ -50,12 +50,17 @@ class TTSPipeline:
         default_language: str = "zh",
         synthesizer: Optional[Synthesizer] = None,
         params_path: Optional[str] = None,
+        fail_silent: bool = False,
     ):
         self.repo_id = repo_id
         self.voices_dir = voices_dir
         self.device = device or "tpu"
         self.default_language = default_language
         self.sample_rate = 24000
+        # "never crash the server" posture: on model failure return 1 s of
+        # silence per item instead of raising (reference kmodel.py:28-30,
+        # 147-150). Off by default so errors surface in development.
+        self.fail_silent = fail_silent
 
         self.en_g2p = EnglishG2P()
         self.en_callback = self.en_g2p.text_to_ipa
@@ -290,13 +295,23 @@ class TTSPipeline:
         (reference pipeline.py:556-614)."""
         if speeds is None:
             speeds = [1.0] * len(texts)
-        ipa_list = [
-            self.phonemes_to_ipa(
-                self.text_to_phonemes(self.preprocess_text(t))
-            )[:MAX_PHONEMES]
-            for t in texts
-        ]
-        return self.synthesizer.synthesize_batch(ipa_list, voice_ids, speeds)
+        try:
+            ipa_list = [
+                self.phonemes_to_ipa(
+                    self.text_to_phonemes(self.preprocess_text(t))
+                )[:MAX_PHONEMES]
+                for t in texts
+            ]
+            return self.synthesizer.synthesize_batch(
+                ipa_list, voice_ids, speeds
+            )
+        except Exception:
+            if not self.fail_silent:
+                raise
+            logger.exception("synthesis failed; returning silence")
+            return [
+                np.zeros(self.sample_rate, np.float32) for _ in texts
+            ]
 
     async def async_batch_process_texts(self, texts, voice_ids, speeds=None):
         return self.batch_process_texts(texts, voice_ids, speeds)

@@ -94,6 +94,27 @@ class TTSServiceManager:
         self.tasks: Dict[str, TTSTask] = {}
         self._loop_task: Optional[asyncio.Task] = None
         self._shutdown = False
+        self.counters = {
+            "submitted": 0, "completed": 0, "failed": 0, "canceled": 0,
+            "batches": 0, "audio_seconds": 0.0, "batch_seconds": 0.0,
+        }
+
+    def stats(self) -> Dict[str, Any]:
+        """Serving counters + pipeline cache stats (observability surface;
+        the reference only logs these, SURVEY §5)."""
+        out = dict(self.counters)
+        if self.counters["batch_seconds"] > 0:
+            out["throughput_x_realtime"] = (
+                self.counters["audio_seconds"]
+                / self.counters["batch_seconds"]
+            )
+        get_cache_stats = getattr(self.pipeline, "get_cache_stats", None)
+        if callable(get_cache_stats):
+            out["cache"] = get_cache_stats()
+        out["pending"] = sum(
+            1 for t in self.tasks.values() if t.status == TaskStatus.PENDING
+        )
+        return out
 
     # --- task API ---------------------------------------------------------------
 
@@ -130,6 +151,7 @@ class TTSServiceManager:
         if os.environ.get("TTS_DEBUG_OUTPUT"):
             task.debug_id = f"{int(time.time() * 1000)}_{task_id[:8]}"
         self.tasks[task_id] = task
+        self.counters["submitted"] += 1
         logger.info(
             "task %s submitted (user=%s seq=%s)", task_id, user_id,
             task.sequence_id,
@@ -142,6 +164,7 @@ class TTSServiceManager:
             return False
         task.status = TaskStatus.CANCELED
         task.completed_at = time.time()
+        self.counters["canceled"] += 1
         return True
 
     async def cancel_user_pending_tasks(
@@ -154,6 +177,7 @@ class TTSServiceManager:
             if task.user_id == user_id and task.status == TaskStatus.PENDING:
                 task.status = TaskStatus.CANCELED
                 task.completed_at = time.time()
+                self.counters["canceled"] += 1
                 count += 1
         return count
 
@@ -229,7 +253,12 @@ class TTSServiceManager:
                 logger.info(
                     "batch of %d done in %.3fs", len(batch), elapsed
                 )
+                self.counters["batches"] += 1
+                self.counters["batch_seconds"] += elapsed
                 for task, audio in zip(batch, audios):
+                    self.counters["audio_seconds"] += (
+                        audio.size / self.pipeline.sample_rate
+                    )
                     task.audio_chunks.append(audio)
                     if self.output_dir:
                         path = os.path.join(
@@ -240,12 +269,14 @@ class TTSServiceManager:
                         )
                     task.status = TaskStatus.COMPLETED
                     task.completed_at = time.time()
+                    self.counters["completed"] += 1
             except Exception as exc:  # batch-level failure policy
                 logger.exception("batch failed: %s", exc)
                 for task in batch:
                     task.status = TaskStatus.FAILED
                     task.error = str(exc)
                     task.completed_at = time.time()
+                    self.counters["failed"] += 1
 
     async def start(self) -> None:
         if self._loop_task is None:

@@ -181,3 +181,16 @@ async def test_bad_request():
     async with client_ctx() as client:
         resp = await client.post("/api/tts", json={}, headers=auth_headers())
         assert resp.status == 400
+
+
+async def test_stats_endpoint():
+    async with client_ctx() as client:
+        await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        resp = await client.get("/api/tts/stats", headers=auth_headers())
+        assert resp.status == 200
+        stats = await resp.json()
+        assert stats["submitted"] >= 1
+        assert stats["completed"] >= 1
+        assert stats["batches"] >= 1
