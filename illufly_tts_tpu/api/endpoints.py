@@ -192,7 +192,67 @@ def create_app(
         manager: TTSServiceManager = request.app["service_manager"]
         return web.json_response(manager.stats())
 
+    async def tts_stream(request: web.Request) -> web.StreamResponse:
+        """Chunked streaming synthesis: long text is segmented, each segment
+        synthesized in scheduler order, and PCM streamed as it completes
+        (the reference only streams at the library level, SURVEY §3.4)."""
+        user = _require_user(request)
+        try:
+            body = await request.json()
+        except Exception:
+            raise web.HTTPBadRequest(reason="invalid JSON body")
+        text = body.get("text")
+        if not text:
+            raise web.HTTPBadRequest(reason="missing 'text'")
+        voice_id = body.get("voice_id", "zf_001")
+        speed = float(body.get("speed", 1.0))
+        manager: TTSServiceManager = request.app["service_manager"]
+        user_id = user.get("user_id")
+
+        segments = manager.pipeline.segment_text(text, manager.chunk_size)
+        base_seq = asyncio.get_event_loop().time()
+        task_ids = []
+        for i, segment in enumerate(segments):
+            task_ids.append(
+                await manager.submit_task(
+                    segment, voice_id, speed, user_id,
+                    sequence_id=base_seq + i,
+                )
+            )
+
+        import struct
+
+        rate = manager.pipeline.sample_rate
+        response = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "audio/wav",
+                "X-Segments": str(len(segments)),
+            },
+        )
+        await response.prepare(request)
+        # streaming WAV header (unknown length -> max RIFF size)
+        header = (
+            b"RIFF" + struct.pack("<I", 0xFFFFFFFF - 8) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", 0xFFFFFFFF - 44)
+        )
+        await response.write(header)
+        import numpy as np
+
+        for task_id in task_ids:
+            async for chunk in manager.stream_result(task_id):
+                if chunk.dtype != np.int16:
+                    peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
+                    if peak > 1.0:
+                        chunk = chunk / peak
+                    chunk = (np.clip(chunk, -1, 1) * 32767).astype("<i2")
+                await response.write(chunk.astype("<i2").tobytes())
+        await response.write_eof()
+        return response
+
     app.router.add_post(f"{prefix}/tts", text_to_speech)
+    app.router.add_post(f"{prefix}/tts/stream", tts_stream)
     app.router.add_get(f"{prefix}/tts/voices", get_voices)
     app.router.add_get(f"{prefix}/tts/info", get_info)
     app.router.add_get(f"{prefix}/tts/stats", get_stats)

@@ -36,6 +36,12 @@ class FakePipeline:
     def batch_process_texts(self, texts, voice_ids, speeds=None):
         return [np.zeros(2400, np.float32) for _ in texts]
 
+    def segment_text(self, text, max_len=400):
+        import re
+
+        parts = [p for p in re.split(r"(?<=[。.!?])", text) if p]
+        return parts or [text]
+
 
 class client_ctx:
     """Async context manager yielding a started TestClient (pytest-asyncio
@@ -181,6 +187,21 @@ async def test_bad_request():
     async with client_ctx() as client:
         resp = await client.post("/api/tts", json={}, headers=auth_headers())
         assert resp.status == 400
+
+
+async def test_stream_endpoint():
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts/stream",
+            json={"text": "第一句话。第二句话。"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/wav"
+        data = await resp.read()
+        assert data[:4] == b"RIFF"
+        # header + at least one PCM chunk from the fake pipeline
+        assert len(data) > 44
 
 
 async def test_stats_endpoint():
