@@ -29,3 +29,48 @@ def test_istft_pallas_zero_input():
     phase = jnp.zeros((1, 64, 11))
     out = istft_pallas(mag, phase, interpret=True)
     np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+import jax
+
+
+@pytest.mark.parametrize("k,d", [(3, 1), (7, 3), (11, 5)])
+def test_fused_adain_snake_conv(k, d):
+    from illufly_tts_tpu.ops.pallas.fused_conv import (
+        adain_snake_conv,
+        adain_snake_conv_reference,
+        instance_moments,
+    )
+
+    rng = np.random.RandomState(0)
+    B, L, C = 2, 256, 128
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32) * 0.5)
+    gamma = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    alpha = jnp.asarray(np.abs(rng.randn(C)).astype(np.float32) + 0.5)
+    w = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    mean, rstd = instance_moments(x)
+
+    ref = adain_snake_conv_reference(
+        x, mean, rstd, gamma, beta, alpha, w, bias, k, d
+    )
+    out = adain_snake_conv(
+        x, mean, rstd, gamma, beta, alpha, w, bias, k, d,
+        block_len=128, interpret=True,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_instance_moments_masked():
+    from illufly_tts_tpu.ops.pallas.fused_conv import instance_moments
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    mask = jnp.zeros((2, 64)).at[:, :40].set(1.0)
+    mean, rstd = instance_moments(x, mask)
+    ref_mean = np.asarray(x[:, :40]).mean(axis=1)
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=1e-5)
