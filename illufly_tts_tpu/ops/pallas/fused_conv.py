@@ -11,6 +11,13 @@ one HBM read + one HBM write per block instead of three passes.
 
 jnp reference: `adain_snake_conv_reference` below; test_pallas.py checks
 allclose in interpret mode.
+
+STATUS: experimental. Correct in interpret mode; on real TPU the Mosaic
+compile of the unaligned sublane tap slices (offsets t*dilation, e.g.
+0,5,..,50 for k=11 d=5) is pathologically slow through this environment's
+remote compiler (>15 min), so the model does not use it yet. Round-2 plan:
+aligned-tap layout (transpose + pltpu.roll for lane shifts, or halo rounded
+to sublane tiles with masked accumulation).
 """
 from __future__ import annotations
 
