@@ -110,6 +110,7 @@ class ZHFrontend:
 
     def __call__(self, text: str, with_erhua: bool = True):
         tokens: List[MToken] = []
+        pending = []  # (token, initials, finals) awaiting cross-word sandhi
         seg_cut = psg.lcut(text)
         seg_cut = [(w, p) for w, p in seg_cut]
         seg_cut = self.tone_modifier.pre_merge_for_modify(seg_cut)
@@ -140,6 +141,27 @@ class ZHFrontend:
                     initials, finals = self._merge_erhua(
                         initials, finals, word, pos
                     )
+            tk.phonemes = None  # filled after cross-word sandhi
+            tokens.append(tk)
+            pending.append((len(tokens) - 1, tk, initials, finals))
+
+        # cross-word third-tone sandhi: a word-final tone 3 followed by a
+        # word-initial tone 3 in the same breath group (adjacent tokens, no
+        # punctuation between) becomes tone 2. Within-word runs are already
+        # handled by ToneSandhi.
+        for p in range(len(pending) - 1):
+            pos_i, tk, _, finals = pending[p]
+            pos_j, _, _, nxt_finals = pending[p + 1]
+            if pos_j != pos_i + 1:
+                continue  # punctuation or English between
+            if not finals or not nxt_finals:
+                continue
+            last = finals[-1]
+            first = nxt_finals[0]
+            if last and first and last.endswith("3") and first.endswith("3"):
+                finals[-1] = last[:-1] + "2"
+
+        for _, tk, initials, finals in pending:
             phonemes = []
             for c, v in zip(initials, finals):
                 if v is None:
@@ -148,7 +170,6 @@ class ZHFrontend:
                 zy = syllable_to_zhuyin(c or "", v)
                 phonemes.append(zy if zy else self.unk)
             tk.phonemes = "".join(phonemes)
-            tokens.append(tk)
 
         result = "".join(
             (self.unk if tk.phonemes is None else tk.phonemes) + tk.whitespace

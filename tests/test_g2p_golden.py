@@ -17,8 +17,8 @@ GOLDEN = {
     '小孩儿在玩儿。': ('ㄒㄧㄠ3ㄏㄞㄦ2/ㄗㄞ4/ㄨㄢㄦ2.', 'ɕjau↓xaiɚ↗ tsai↘ wanɚ↗.'),
     '一二三四五六七八九十。': ('ㄧ1ㄦ4ㄙㄢ1ㄙㄭ4ㄨ3ㄌㄧㄡ4ㄑㄧ1ㄅㄚ1ㄐㄧㄡ3ㄕㄭ2.', 'i→ɚ↘san→sɨ↘u↓ljou↘tɕʰi→pa→tɕjou↓ʂɨ↗.'),
     '这个东西多少钱？': ('ㄓㄜ4ㄍㄜ5/ㄉㄨㄥ1ㄒㄧ5/ㄉㄨㄛ1ㄕㄠ3/ㄑㄧㄢ2?', 'ʈʂɤ↘kɤ tʊŋ→ɕi two→ʂau↓ tɕʰjɛn↗?'),
-    '我觉得这个音乐很好听。': ('ㄨㄛ3/ㄐㄩㄝ2ㄉㄜ5/ㄓㄜ4ㄍㄜ5/ㄧㄣ1ㄩㄝ4/ㄏㄣ3/ㄏㄠ3ㄊㄧㄥ1.', 'wo↓ tɕɥe↗tɤ ʈʂɤ↘kɤ in→ɥe↘ xən↓ xau↓tʰiŋ→.'),
-    '请给我打电话。': ('ㄑㄧㄥ3/ㄍㄟ3/ㄨㄛ3/ㄉㄚ3ㄉㄧㄢ4ㄏㄨㄚ4.', 'tɕʰiŋ↓ kei↓ wo↓ ta↓tjɛn↘xwa↘.'),
+    '我觉得这个音乐很好听。': ('ㄨㄛ3/ㄐㄩㄝ2ㄉㄜ5/ㄓㄜ4ㄍㄜ5/ㄧㄣ1ㄩㄝ4/ㄏㄣ2/ㄏㄠ3ㄊㄧㄥ1.', 'wo↓ tɕɥe↗tɤ ʈʂɤ↘kɤ in→ɥe↘ xən↗ xau↓tʰiŋ→.'),
+    '请给我打电话。': ('ㄑㄧㄥ2/ㄍㄟ2/ㄨㄛ2/ㄉㄚ3ㄉㄧㄢ4ㄏㄨㄚ4.', 'tɕʰiŋ↗ kei↗ wo↗ ta↓tjɛn↘xwa↘.'),
     '老师教我们学习知识。': ('ㄌㄠ3ㄕㄭ1/ㄐㄧㄠ1/ㄨㄛ3ㄇㄣ5/ㄒㄩㄝ2ㄒㄧ2/ㄓㄭ1ㄕㄭ5.', 'lau↓ʂɨ→ tɕjau→ wo↓mən ɕɥe↗ɕi↗ ʈʂɨ→ʂɨ.'),
     '春天来了，花儿开了。': ('ㄔㄨㄣ1ㄊㄧㄢ1/ㄌㄞ2/ㄌㄜ5, ㄏㄨㄚ1ㄦ2/ㄎㄞ1/ㄌㄜ5.', 'ʈʂʰwən→tʰjɛn→ lai↗ lɤ, xwa→ɚ↗ kʰai→ lɤ.'),
     '什么时候出发？': ('ㄕㄣ2ㄇㄜ5/ㄕㄭ2ㄏㄡ4/ㄔㄨ1ㄈㄚ1?', 'ʂən↗mɤ ʂɨ↗xou↘ ʈʂʰu→fa→?'),
