@@ -77,3 +77,34 @@ def test_compile_cache_reuse(synth):
     synth.synthesize_batch(["ma→ma"], ["test_voice"])
     assert len(synth._stage_a) == n_a
     assert len(synth._stage_b) == n_b
+
+
+def test_voice_pack_from_npy(tmp_path):
+    """Voice packs load from voices_dir (.npy), length-indexed."""
+    import numpy as np
+    from tests.test_model import tiny_config
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    pack = np.random.RandomState(0).randn(510, 32).astype(np.float32) * 0.1
+    np.save(str(tmp_path / "zf_test.npy"), pack)
+    s = Synthesizer(
+        config=tiny_config(), voices_dir=str(tmp_path),
+        token_buckets=(16,), frame_buckets=(32,),
+    )
+    assert "zf_test" in s.list_voices()
+    loaded = s.load_voice("zf_test")
+    assert loaded.shape == (510, 32)
+    audio = s.synthesize_batch(["ni→xau↓"], ["zf_test"])[0]
+    assert audio.size > 0
+
+
+def test_voice_pack_3d_squeeze(tmp_path):
+    """Reference-style [L, 1, 256] packs squeeze to [L, 256]."""
+    import numpy as np
+    from tests.test_model import tiny_config
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    pack = np.zeros((510, 1, 32), np.float32)
+    np.save(str(tmp_path / "v3d.npy"), pack)
+    s = Synthesizer(config=tiny_config(), voices_dir=str(tmp_path))
+    assert s.load_voice("v3d").shape == (510, 32)
