@@ -12,12 +12,16 @@ one HBM read + one HBM write per block instead of three passes.
 jnp reference: `adain_snake_conv_reference` below; test_pallas.py checks
 allclose in interpret mode.
 
-STATUS: experimental. Correct in interpret mode; on real TPU the Mosaic
-compile of the unaligned sublane tap slices (offsets t*dilation, e.g.
-0,5,..,50 for k=11 d=5) is pathologically slow through this environment's
-remote compiler (>15 min), so the model does not use it yet. Round-2 plan:
-aligned-tap layout (transpose + pltpu.roll for lane shifts, or halo rounded
-to sublane tiles with masked accumulation).
+STATUS: experimental. Findings so far on real hardware:
+- DMA extents must be 8-sublane aligned: with an unaligned halo the kernel
+  FAULTED the TPU worker; rounding the halo to the sublane tile (done below)
+  fixes it — k=3/d=1 now compiles in ~40 s and matches the XLA reference.
+- k=11/d=5 (the production resblock shape) still compiles pathologically
+  slowly (>8 min, killed): 11 unrolled taps with unaligned sublane offsets
+  explode Mosaic's shift lowering. Round-2 plan: tap accumulation in a
+  fori_loop with pltpu.roll (single shift per step), or transpose taps onto
+  the lane axis.
+The model therefore still uses the XLA path for these convs.
 """
 from __future__ import annotations
 
@@ -30,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_hbm, scale_ref, shift_ref, alpha_ref, w_ref, bias_ref,
-            out_ref, x_vmem, sem, *, k, dilation, lb, halo):
+            out_ref, x_vmem, sem, *, k, dilation, lb, halo, base):
     b = pl.program_id(0)
     block = pl.program_id(1)
     start = block * lb  # into the halo-padded length axis
@@ -51,8 +55,9 @@ def _kernel(x_hbm, scale_ref, shift_ref, alpha_ref, w_ref, bias_ref,
 
     acc = jnp.zeros((lb, out_ref.shape[-1]), jnp.float32)
     for t in range(k):
+        off = base + t * dilation
         acc = acc + jnp.dot(
-            h[t * dilation: t * dilation + lb, :],
+            h[off: off + lb, :],
             w_ref[t],
             preferred_element_type=jnp.float32,
         )
@@ -81,7 +86,9 @@ def adain_snake_conv(
 ) -> jnp.ndarray:
     batch, length, channels = x.shape
     k = kernel
-    halo = (k - 1) // 2 * dilation
+    # halo rounded up to the 8-sublane tile so the HBM->VMEM DMA extent
+    # (lb + 2*halo) stays tile-aligned (unaligned extents fault the worker)
+    halo = -(-((k - 1) // 2 * dilation) // 8) * 8
     lb = min(block_len, max(128, -(-length // 128) * 128))
     grid_l = pl.cdiv(length, lb)
     pad_tail = grid_l * lb - length
@@ -106,8 +113,10 @@ def adain_snake_conv(
     bias_3d = jnp.asarray(bias, jnp.float32).reshape(1, 1, -1)
     c_out = w.shape[-1]
 
+    reach = (k - 1) // 2 * dilation
     out = pl.pallas_call(
-        partial(_kernel, k=k, dilation=dilation, lb=lb, halo=halo),
+        partial(_kernel, k=k, dilation=dilation, lb=lb, halo=halo,
+                base=halo - reach),
         grid=(batch, grid_l),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),                  # x (HBM)
