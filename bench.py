@@ -60,21 +60,28 @@ def main() -> None:
     out = synth.synthesize_batch(texts, voices)
     log(f"second call took {time.perf_counter() - t0:.2f}s")
 
-    # pipelined serving loop: keep one batch in flight so the host download
-    # (PCIe on real hosts; a slow relay in this dev environment) overlaps
-    # with the next batch's device compute
-    iters = 8
+    # pipelined serving loop: keep several batches in flight so the host
+    # download (PCIe on real hosts; a slow, high-variance relay in this dev
+    # environment) overlaps with device compute
+    from collections import deque
+
+    iters = 10
+    depth = 3
     start = time.perf_counter()
     total_samples = 0
-    in_flight = synth.dispatch(texts, voices)
-    for i in range(iters):
-        next_handle = (
-            synth.dispatch(texts, voices) if i + 1 < iters else None
-        )
-        out = synth.collect(in_flight, pcm16=True)
+    in_flight = deque(
+        synth.dispatch(texts, voices) for _ in range(min(depth, iters))
+    )
+    submitted = len(in_flight)
+    done = 0
+    while in_flight:
+        out = synth.collect(in_flight.popleft(), pcm16=True)
         total_samples += sum(a.size for a in out)
-        in_flight = next_handle
-        log(f"iter {i + 1}/{iters}")
+        done += 1
+        if submitted < iters:
+            in_flight.append(synth.dispatch(texts, voices))
+            submitted += 1
+        log(f"iter {done}/{iters}")
     elapsed = time.perf_counter() - start
 
     audio_seconds = total_samples / synth.sample_rate

@@ -1,0 +1,4 @@
+from .en import EnTextNormalizer
+from .zh import ZhTextNormalizer
+
+__all__ = ["ZhTextNormalizer", "EnTextNormalizer"]
