@@ -115,3 +115,12 @@ class TestZhNormalizer:
 
     def test_range(self):
         assert "三到五" in norm("大概3-5天")
+
+    def test_time_range(self):
+        result = norm("营业时间8:00-10:30")
+        assert "八点" in result
+        assert "十点半" in result or "十点三十分" in result
+        assert "至" in result
+
+    def test_iso_date(self):
+        assert "二零二三年六月十五日" in norm("活动日期2023/06/15开始")
