@@ -12,16 +12,18 @@ one HBM read + one HBM write per block instead of three passes.
 jnp reference: `adain_snake_conv_reference` below; test_pallas.py checks
 allclose in interpret mode.
 
-STATUS: experimental. Findings so far on real hardware:
-- DMA extents must be 8-sublane aligned: with an unaligned halo the kernel
-  FAULTED the TPU worker; rounding the halo to the sublane tile (done below)
-  fixes it — k=3/d=1 now compiles in ~40 s and matches the XLA reference.
-- k=11/d=5 (the production resblock shape) still compiles pathologically
-  slowly (>8 min, killed): 11 unrolled taps with unaligned sublane offsets
-  explode Mosaic's shift lowering. Round-2 plan: tap accumulation in a
-  fori_loop with pltpu.roll (single shift per step), or transpose taps onto
-  the lane axis.
-The model therefore still uses the XLA path for these convs.
+STATUS: experimental. Hardware findings (the model still uses the XLA conv
+path, which runs at ~40% MXU):
+- DMA extents must be 8-sublane aligned: an unaligned halo FAULTS the TPU
+  worker. Fixed below (halo rounded to the sublane tile); k=3/d=1 compiles
+  in ~40 s and matches the XLA reference on-chip.
+- Unaligned static sublane slices for the taps explode Mosaic's lowering
+  (>8 min compiles at k=11/d=5). Replaced with pltpu.roll per tap (f32 —
+  Mosaic cannot rotate non-32-bit data); interpret-mode exact, but the
+  k=11 compile through this environment's remote Mosaic is still >7 min,
+  so it stays opt-in. Round-2: profile the Mosaic pass (likely the 11
+  unrolled full-buffer rotates); try a transposed layout with lane-axis
+  taps, or fewer taps per kernel invocation (split k).
 """
 from __future__ import annotations
 
@@ -51,16 +53,23 @@ def _kernel(x_hbm, scale_ref, shift_ref, alpha_ref, w_ref, bias_ref,
     xn = x_vmem[:] * scale_ref[0] + shift_ref[0]
     alpha = alpha_ref[:]
     h = xn + (1.0 / alpha) * jnp.square(jnp.sin(alpha * xn))
-    h = h.astype(w_ref.dtype)
 
+    # tap accumulation with sublane rolls instead of unaligned slices —
+    # unaligned static slices explode Mosaic's shift lowering (>8 min
+    # compiles at k=11); a roll per tap lowers cleanly. Rolls stay in f32
+    # (Mosaic can't rotate non-32-bit data); casts happen per tap.
+    n_rows = h.shape[0]
+    if base:
+        h = pltpu.roll(h, shift=n_rows - base, axis=0)  # circular left-shift
     acc = jnp.zeros((lb, out_ref.shape[-1]), jnp.float32)
     for t in range(k):
-        off = base + t * dilation
         acc = acc + jnp.dot(
-            h[off: off + lb, :],
+            h[:lb, :].astype(w_ref.dtype),
             w_ref[t],
             preferred_element_type=jnp.float32,
         )
+        if t + 1 < k:
+            h = pltpu.roll(h, shift=n_rows - dilation, axis=0)
     out_ref[0] = (acc + bias_ref[0, 0].astype(jnp.float32)).astype(
         out_ref.dtype
     )
