@@ -88,6 +88,15 @@ def main() -> None:
     throughput = audio_seconds / elapsed
     rtf = elapsed / audio_seconds
 
+    # single-request latency (batch 1, same utterance), post-warmup
+    synth.synthesize_batch([text], ["bench_voice"], pcm16=True)  # compile b1
+    lat = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        synth.synthesize_batch([text], ["bench_voice"], pcm16=True)
+        lat.append(time.perf_counter() - t0)
+    b1_latency = min(lat)
+
     result = {
         "metric": "audio_sec_per_sec_per_chip_b32",
         "value": round(throughput, 2),
@@ -95,6 +104,7 @@ def main() -> None:
         "vs_baseline": round(throughput / 50.0, 3),
         "detail": {
             "rtf": round(rtf, 6),
+            "batch1_latency_s": round(b1_latency, 3),
             "batch": batch,
             "frame_bucket": frames,
             "phonemes_per_utt": len(text),

@@ -126,6 +126,16 @@ def create_app(
                     "no zf_001 voice pack found; registered a synthetic "
                     "voice (provide --voices-dir for real voices)"
                 )
+        if os.environ.get("TTS_WARMUP", "").lower() in ("1", "true", "yes"):
+            # precompile the common bucket inventory before taking traffic
+            # (SURVEY §7 hard-part 5: warm buckets or tail latency explodes)
+            warmup = getattr(
+                manager.pipeline.synthesizer, "warmup", None
+            )
+            if callable(warmup):
+                logger.info("warming compiled bucket inventory...")
+                await asyncio.to_thread(warmup)
+                logger.info("warmup complete")
         await manager.start()
         app["service_manager"] = manager
         logger.info("TTS service started")

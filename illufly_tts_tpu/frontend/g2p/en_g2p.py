@@ -202,16 +202,27 @@ class EnglishG2P:
         return ipa
 
     def text_to_ipa(self, text: str) -> str:
+        tokens = re.findall(
+            r"[A-Za-z]+(?:'[A-Za-z]+)?|[^A-Za-z\s]+|\s+", text
+        )
+        words = [t for t in tokens if re.match(r"[A-Za-z]", t or " ")]
+        # contextual function words: "the" -> ði before a vowel sound
+        # (misaki-style future_vowel handling, reference english_g2p.py:716)
         parts: List[str] = []
-        for token in re.findall(r"[A-Za-z]+(?:'[A-Za-z]+)?|[^A-Za-z\s]+|\s+", text):
+        wi = 0
+        for token in tokens:
             if token.isspace():
                 if parts and not parts[-1].endswith(" "):
                     parts.append(" ")
                 continue
             if re.match(r"[A-Za-z]", token):
-                # split CamelCase product names (iPhone -> i Phone stays whole
-                # via lexicon; PlayStation -> play station)
-                parts.append(self.word_to_ipa(token))
+                ipa = self.word_to_ipa(token)
+                if token.lower() == "the" and wi + 1 < len(words):
+                    nxt = self.word_to_ipa(words[wi + 1])
+                    if nxt and nxt.lstrip("ˈˌ")[:1] in "aeiouæɑɔəɚɛɝɪʊʌ":
+                        ipa = "ði"
+                parts.append(ipa)
+                wi += 1
             else:
                 parts.append(token)
         result = "".join(parts)
