@@ -224,6 +224,12 @@ class Synthesizer:
         ]
         lengths = [len(ids) for ids in id_lists]
         t_bucket = pick(self.token_buckets, max(lengths))
+        # sequences longer than the largest bucket truncate (keep EOS=0),
+        # mirroring the reference's 510-phoneme hard cap (pipeline.py:191)
+        id_lists = [
+            ids if len(ids) <= t_bucket else ids[: t_bucket - 1] + [0]
+            for ids in id_lists
+        ]
         b_bucket = pick(BATCH_BUCKETS, n)
 
         ids = np.zeros((b_bucket, t_bucket), np.int32)
