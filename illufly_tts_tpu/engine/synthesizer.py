@@ -44,6 +44,9 @@ class Synthesizer:
         token_buckets: Sequence[int] = TOKEN_BUCKETS,
         frame_buckets: Sequence[int] = FRAME_BUCKETS,
     ):
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config or KokoroConfig()
         self.model = KokoroModel(self.config)
         self.voices_dir = voices_dir
