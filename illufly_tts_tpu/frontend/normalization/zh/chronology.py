@@ -29,10 +29,12 @@ RE_DATE2 = re.compile(
 RE_YEAR_RANGE = re.compile(r"(\d{4})[-~](\d{4})年")
 
 
-def _time_to_str(hour: str, minute: str, second: str | None) -> str:
+def _time_to_str(
+    hour: str, minute: str, second: str | None, allow_ban: bool = True
+) -> str:
     result = f"{num2str(hour)}点"
     minute_int = int(minute)
-    if minute_int == 30 and not second:
+    if minute_int == 30 and not second and allow_ban:
         result += "半"
     elif minute_int != 0:
         result += f"{verbalize_cardinal(minute)}分"
@@ -46,8 +48,14 @@ def replace_time(match: re.Match) -> str:
 
 
 def replace_time_range(match: re.Match) -> str:
-    first = _time_to_str(match.group(1), match.group(2), match.group(4))
-    second = _time_to_str(match.group(6), match.group(7), match.group(9))
+    # ranges read minutes fully (八点至十点三十分, not 十点半) — matches the
+    # reference's range reading
+    first = _time_to_str(
+        match.group(1), match.group(2), match.group(4), allow_ban=False
+    )
+    second = _time_to_str(
+        match.group(6), match.group(7), match.group(9), allow_ban=False
+    )
     return f"{first}至{second}"
 
 

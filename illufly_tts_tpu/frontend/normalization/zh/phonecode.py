@@ -45,6 +45,6 @@ def replace_phone(match: re.Match) -> str:
 
 
 def replace_400(match: re.Match) -> str:
-    return "四零零" + verbalize_digit(
-        match.group(3) + match.group(4), alt_one=True
-    )
+    # digit groups separated by pause commas (reference prosody)
+    groups = ("400", match.group(3), match.group(4))
+    return "，".join(verbalize_digit(g, alt_one=True) for g in groups)
