@@ -445,6 +445,54 @@ _PHRASES_RAW = """
 糊涂 hu2 tu5
 糊口 hu2 kou3
 糨糊 jiang4 hu4
+看见 kan4 jian4
+看书 kan4 shu1
+看守 kan1 shou3
+看护 kan1 hu4
+干净 gan1 jing4
+干燥 gan1 zao4
+若干 ruo4 gan1
+饼干 bing3 gan1
+干涉 gan1 she4
+主干 zhu3 gan4
+正月 zheng1 yue4
+正在 zheng4 zai4
+长城 chang2 cheng2
+长江 chang2 jiang1
+外长 wai4 zhang3
+得到 de2 dao4
+得分 de2 fen1
+所得 suo3 de2
+不得不 bu4 de2 bu4
+分析 fen1 xi1
+分数 fen1 shu4
+部分 bu4 fen4
+成分 cheng2 fen4
+分量 fen4 liang4
+过分 guo4 fen4
+身分 shen1 fen4
+充分 chong1 fen4
+还是 hai2 shi4
+还有 hai2 you3
+空气 kong1 qi4
+空间 kong1 jian1
+天空 tian1 kong1
+空调 kong1 tiao2
+会议 hui4 yi4
+机会 ji1 hui4
+省会 sheng3 hui4
+体会 ti3 hui4
+教育 jiao4 yu4
+教师 jiao4 shi1
+教室 jiao4 shi4
+教学 jiao4 xue2
+宗教 zong1 jiao4
+请教 qing3 jiao4
+音调 yin1 diao4
+声调 sheng1 diao4
+调查 diao4 cha2
+强调 qiang2 diao4
+格调 ge2 diao4
 率领 shuai4 ling3
 率先 shuai4 xian1
 率队 shuai4 dui4
