@@ -295,16 +295,20 @@ class TTSPipeline:
         (reference pipeline.py:556-614)."""
         if speeds is None:
             speeds = [1.0] * len(texts)
+        from .utils.profiling import TIMERS
+
         try:
-            ipa_list = [
-                self.phonemes_to_ipa(
-                    self.text_to_phonemes(self.preprocess_text(t))
-                )[:MAX_PHONEMES]
-                for t in texts
-            ]
-            return self.synthesizer.synthesize_batch(
-                ipa_list, voice_ids, speeds
-            )
+            with TIMERS.track("frontend"):
+                ipa_list = [
+                    self.phonemes_to_ipa(
+                        self.text_to_phonemes(self.preprocess_text(t))
+                    )[:MAX_PHONEMES]
+                    for t in texts
+                ]
+            with TIMERS.track("model"):
+                return self.synthesizer.synthesize_batch(
+                    ipa_list, voice_ids, speeds
+                )
         except Exception:
             if not self.fail_silent:
                 raise

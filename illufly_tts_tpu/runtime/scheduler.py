@@ -114,6 +114,9 @@ class TTSServiceManager:
         out["pending"] = sum(
             1 for t in self.tasks.values() if t.status == TaskStatus.PENDING
         )
+        from ..utils.profiling import TIMERS
+
+        out["stage_timers"] = TIMERS.snapshot()
         return out
 
     # --- task API ---------------------------------------------------------------
