@@ -85,6 +85,33 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
     web.run_app(app, host=host, port=port)
 
 
+@cli.command()
+@click.argument("text")
+@click.option("--output", "-o", default="output.wav", help="output wav path")
+@click.option("--voice-id", default="zf_001", help="voice id")
+@click.option("--speed", default=1.0, type=float, help="speech speed")
+@click.option("--repo-id", default="", help="model params path")
+@click.option("--voices-dir", default=None, help="voice pack directory")
+@click.option("--segment/--no-segment", default=False,
+              help="split long text into sentence segments")
+def synth(text, output, voice_id, speed, repo_id, voices_dir, segment):
+    """Synthesize TEXT to a wav file (local, no server)."""
+    from .pipeline import CachedTTSPipeline
+
+    pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir)
+    if not pipe.synthesizer.is_voice_loaded(voice_id):
+        logger.warning(
+            "voice %s not found; using a synthetic random voice", voice_id
+        )
+        pipe.synthesizer.register_random_voice(voice_id, seed=42)
+    audio = pipe.process(text, voice_id=voice_id, speed=speed,
+                         output_path=output, segment_text=segment)
+    click.echo(
+        f"wrote {output}: {audio.size / pipe.sample_rate:.2f}s at "
+        f"{pipe.sample_rate} Hz"
+    )
+
+
 def main():
     if len(sys.argv) == 1:
         sys.argv.append("serve")

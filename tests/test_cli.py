@@ -20,3 +20,11 @@ def test_cli_group_help():
     result = CliRunner().invoke(cli, ["--help"])
     assert result.exit_code == 0
     assert "serve" in result.output
+    assert "synth" in result.output
+
+
+def test_synth_help():
+    result = CliRunner().invoke(cli, ["synth", "--help"])
+    assert result.exit_code == 0
+    for flag in ("--output", "--voice-id", "--speed", "--segment"):
+        assert flag in result.output
