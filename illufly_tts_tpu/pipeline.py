@@ -424,13 +424,24 @@ class CachedTTSPipeline(TTSPipeline):
                 uncached.append(i)
                 results.append(None)
         if uncached:
+            # dedup identical (text, voice, speed) inside the batch
+            # (reference pipeline.py:574-584)
+            unique: Dict[tuple, int] = {}
+            compute_idx = []
+            for i in uncached:
+                sig = (texts[i], voice_ids[i], speeds[i])
+                if sig not in unique:
+                    unique[sig] = len(compute_idx)
+                    compute_idx.append(i)
             fresh = super().batch_process_texts(
-                [texts[i] for i in uncached],
-                [voice_ids[i] for i in uncached],
-                [speeds[i] for i in uncached],
+                [texts[i] for i in compute_idx],
+                [voice_ids[i] for i in compute_idx],
+                [speeds[i] for i in compute_idx],
             )
-            for j, i in enumerate(uncached):
-                results[i] = fresh[j]
+            for i in uncached:
+                sig = (texts[i], voice_ids[i], speeds[i])
+                audio = fresh[unique[sig]]
+                results[i] = audio
                 key = f"audio:{voice_ids[i]}:{speeds[i]}:{hash(texts[i])}"
-                self._audio_cache[key] = fresh[j]
+                self._audio_cache[key] = audio
         return results

@@ -104,3 +104,26 @@ def test_bf16_forward_finite():
     audio = synth.synthesize_batch(["ni→xau↓ma"], ["v"])[0]
     assert audio.dtype == np.float32
     assert np.all(np.isfinite(audio))
+
+
+def test_within_batch_dedup(pipe):
+    """Identical (text, voice, speed) items in one batch compute once."""
+    calls = []
+    orig = type(pipe).__mro__[1].batch_process_texts  # TTSPipeline impl
+
+    def spy(texts, voice_ids, speeds=None):
+        calls.append(list(texts))
+        return orig(pipe, texts, voice_ids, speeds)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        type(pipe).__mro__[1], "batch_process_texts", side_effect=spy,
+        autospec=False,
+    ):
+        out = pipe.batch_process_texts(
+            ["去重测试。", "去重测试。", "另一句。"], ["zf_001"] * 3
+        )
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[0], out[1])
+    assert len(calls) == 1 and len(calls[0]) == 2  # only 2 unique computed
