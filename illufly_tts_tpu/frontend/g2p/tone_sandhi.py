@@ -24,9 +24,8 @@ _NEUTRAL_SUFFIX_OK = set("子头巴么")
 _NOT_NEUTRAL = {
     "电子", "原子", "分子", "量子", "离子", "质子", "中子", "莲子", "男子",
     "女子", "王子", "份子", "独生子", "因子", "粒子", "孢子", "精子",
-    "卵子", "骨头", "木头", "石头",  # 骨头/木头/石头 actually neutral; keep out
+    "卵子", "种子", "核子", "光子",
 }
-_NOT_NEUTRAL -= {"骨头", "木头", "石头"}
 # Common full-word neutral-tone vocabulary (second syllable neutral).
 _NEUTRAL_WORDS = {
     "爸爸", "妈妈", "哥哥", "弟弟", "姐姐", "妹妹", "叔叔", "爷爷", "奶奶",
@@ -34,7 +33,7 @@ _NEUTRAL_WORDS = {
     "豆腐", "厉害", "明白", "清楚", "云彩", "棉花", "事情", "先生", "晚上",
     "早上", "枕头", "馒头", "骨头", "木头", "石头", "念头", "苗头", "盼头",
     "丫头", "姑娘", "娃娃", "狐狸", "蛤蟆", "知识", "意思", "休息", "消息",
-    "告诉", "答应", "打听", "打扮", "动静", "队伍", "耳朵", "風筝", "风筝",
+    "告诉", "答应", "打听", "打扮", "动静", "队伍", "耳朵", "风筝",
     "福气", "甘蔗", "高粱", "膏药", "规矩", "闺女", "孩子", "合同", "糊涂",
     "火候", "活泼", "机灵", "记号", "记性", "力气", "粮食", "萝卜", "麻烦",
     "买卖", "眉毛", "妈妈", "明白", "蘑菇", "名字", "脑袋", "脾气", "屁股",
