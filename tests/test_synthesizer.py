@@ -108,3 +108,25 @@ def test_voice_pack_3d_squeeze(tmp_path):
     np.save(str(tmp_path / "v3d.npy"), pack)
     s = Synthesizer(config=tiny_config(), voices_dir=str(tmp_path))
     assert s.load_voice("v3d").shape == (510, 32)
+
+
+def test_voice_pack_from_torch_pt(tmp_path):
+    """Reference users bring torch .pt voice packs ([510, 1, 256])."""
+    torch = __import__("pytest").importorskip("torch")
+    import numpy as np
+    from tests.test_model import tiny_config
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    pack = torch.randn(510, 1, 32) * 0.1
+    torch.save(pack, str(tmp_path / "zf_ref.pt"))
+    s = Synthesizer(
+        config=tiny_config(), voices_dir=str(tmp_path),
+        token_buckets=(16,), frame_buckets=(32,),
+    )
+    loaded = s.load_voice("zf_ref")
+    assert loaded.shape == (510, 32)
+    np.testing.assert_allclose(
+        np.asarray(loaded), pack.numpy()[:, 0, :], atol=1e-6
+    )
+    audio = s.synthesize_batch(["ni→xau↓"], ["zf_ref"])[0]
+    assert audio.size > 0
