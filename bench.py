@@ -75,12 +75,16 @@ def main() -> None:
     submitted = len(in_flight)
     done = 0
     while in_flight:
-        out = synth.collect(in_flight.popleft(), pcm16=True)
-        total_samples += sum(a.size for a in out)
-        done += 1
+        # launch the head's decode first: its frame-total readback has been
+        # in flight since dispatch, so this rarely stalls; the fresh dispatch
+        # below then overlaps the head's stage-B compute and audio download
+        synth.launch_decode(in_flight[0])
         if submitted < iters:
             in_flight.append(synth.dispatch(texts, voices))
             submitted += 1
+        out = synth.collect(in_flight.popleft(), pcm16=True)
+        total_samples += sum(a.size for a in out)
+        done += 1
         log(f"iter {done}/{iters}")
     elapsed = time.perf_counter() - start
 

@@ -56,10 +56,24 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         load_en_dict(en_dict)
     if debug_output:
         os.environ["TTS_DEBUG_OUTPUT"] = "1"
-    if os.environ.get("TTS_DEV_MODE", "").lower() in ("1", "true", "yes"):
+    from .api.auth import get_jwt_secret_key
+    from .api.dev_mode import is_dev_mode
+
+    loopback = host in ("127.0.0.1", "localhost", "::1")
+    if is_dev_mode():
         logger.warning("=" * 60)
         logger.warning("DEV MODE ENABLED — authentication is relaxed")
+        if not loopback:
+            logger.warning(
+                "binding %s with dev mode ON: every request authenticates "
+                "as admin. Unset TTS_DEV_MODE or bind 127.0.0.1.", host,
+            )
         logger.warning("=" * 60)
+    elif get_jwt_secret_key() == "MY-SECRET-KEY" and not loopback:
+        logger.warning(
+            "FASTAPI_SECRET_KEY is the default value on a non-loopback bind "
+            "(%s) — JWTs are forgeable. Set FASTAPI_SECRET_KEY.", host,
+        )
 
     cors_origins = os.environ.get("TTS_CORS_ORIGINS", "")
     app = create_app(

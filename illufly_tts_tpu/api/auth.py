@@ -12,7 +12,12 @@ import os
 from typing import Any, Dict, List, Mapping, Optional
 
 from . import jwt_hs256 as jwt
-from .dev_mode import handle_dev_auth, is_dev_mode, verify_token_dev_mode
+from .dev_mode import (
+    handle_dev_auth,
+    header_get,
+    is_dev_mode,
+    verify_token_dev_mode,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -53,7 +58,7 @@ class TokenVerifier:
 def extract_token(
     headers: Mapping[str, str], cookies: Mapping[str, str]
 ) -> Optional[str]:
-    auth_header = headers.get("Authorization", "")
+    auth_header = header_get(headers, "Authorization")
     if auth_header.startswith("Bearer "):
         return auth_header[7:]
     return cookies.get(JWT_COOKIE_NAME)

@@ -16,6 +16,26 @@ from . import jwt_hs256 as jwt
 
 logger = logging.getLogger(__name__)
 
+
+def header_get(
+    headers: Mapping[str, str], name: str, default: str = ""
+) -> str:
+    """Case-insensitive header lookup. aiohttp passes CIMultiDict (native
+    case-insensitive); FastAPI/Starlette hosts may pass plain dicts with
+    lowercased keys (fastapi_compat), so fall back to a scan."""
+    value = headers.get(name)
+    if value is not None:
+        return value
+    lname = name.lower()
+    value = headers.get(lname)
+    if value is not None:
+        return value
+    for key, val in headers.items():
+        if key.lower() == lname:
+            return val
+    return default
+
+
 DEV_SECRET_KEY_ENV = "TTS_DEV_SECRET_KEY"
 DEFAULT_DEV_SECRET = "tts-dev-secret-key"
 DEFAULT_DEV_USER = {
@@ -80,8 +100,8 @@ def handle_dev_auth(
     """Dev-mode request-level bypass. Returns a user dict or None."""
     if not is_dev_mode():
         return None
-    if headers.get("X-Dev-Secret-Key") == get_dev_secret_key():
-        user_id = headers.get("X-Dev-User", "dev_user")
+    if header_get(headers, "X-Dev-Secret-Key") == get_dev_secret_key():
+        user_id = header_get(headers, "X-Dev-User", "dev_user")
         return {
             "user_id": user_id,
             "username": f"dev_{user_id}",
@@ -90,7 +110,7 @@ def handle_dev_auth(
         }
     if query.get("dev_token") == "true":
         return dict(DEFAULT_DEV_USER)
-    referer = headers.get("Referer", "")
+    referer = header_get(headers, "Referer")
     if "/docs" in referer or "/redoc" in referer:
         return dict(DEFAULT_DEV_USER)
     if token:

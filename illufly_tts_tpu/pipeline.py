@@ -350,6 +350,10 @@ class CachedTTSPipeline(TTSPipeline):
     """Adds transparent caching of every frontend stage + audio results
     (reference pipeline.py:665-832)."""
 
+    # memory bounds for long-running servers (oldest-inserted evicted first)
+    TEXT_CACHE_LIMIT = 20000
+    AUDIO_CACHE_LIMIT = 512
+
     def __init__(self, *args, **kwargs):
         super().__init__(*args, **kwargs)
         self._cache: Dict[str, object] = {}
@@ -367,28 +371,38 @@ class CachedTTSPipeline(TTSPipeline):
             return self._cache[cache_key]
         start = time.time()
         result = compute()
+        if len(self._cache) >= self.TEXT_CACHE_LIMIT:
+            self._cache.pop(next(iter(self._cache)))
         self._cache[cache_key] = result
         self.cache_stats[f"{kind}_misses"] += 1
         logger.debug("%s cache miss (%.3fs)", kind, time.time() - start)
         return result
 
+    def _audio_cache_put(self, key: str, audio: np.ndarray) -> None:
+        if len(self._audio_cache) >= self.AUDIO_CACHE_LIMIT:
+            self._audio_cache.pop(next(iter(self._audio_cache)))
+        self._audio_cache[key] = audio
+
+    # cache keys are the full input string — Python's 64-bit hash() (the
+    # reference's key, pipeline.py:706-754) can collide and silently serve
+    # another request's result; dict interning makes the exact key free
     def preprocess_text(self, text: str) -> str:
         return self._cached(
-            "text", str(hash(text)), lambda: super(
+            "text", text, lambda: super(
                 CachedTTSPipeline, self
             ).preprocess_text(text)
         )
 
     def text_to_phonemes(self, text: str) -> str:
         return self._cached(
-            "phoneme", str(hash(text)), lambda: super(
+            "phoneme", text, lambda: super(
                 CachedTTSPipeline, self
             ).text_to_phonemes(text)
         )
 
     def phonemes_to_ipa(self, phonemes: str) -> str:
         return self._cached(
-            "ipa", str(hash(phonemes)), lambda: super(
+            "ipa", phonemes, lambda: super(
                 CachedTTSPipeline, self
             ).phonemes_to_ipa(phonemes)
         )
@@ -417,7 +431,7 @@ class CachedTTSPipeline(TTSPipeline):
         for i, (text, voice, speed) in enumerate(
             zip(texts, voice_ids, speeds)
         ):
-            key = f"audio:{voice}:{speed}:{hash(text)}"
+            key = f"audio:{voice}:{speed}:{text}"
             if key in self._audio_cache:
                 results.append(self._audio_cache[key])
             else:
@@ -442,6 +456,6 @@ class CachedTTSPipeline(TTSPipeline):
                 sig = (texts[i], voice_ids[i], speeds[i])
                 audio = fresh[unique[sig]]
                 results[i] = audio
-                key = f"audio:{voice_ids[i]}:{speeds[i]}:{hash(texts[i])}"
-                self._audio_cache[key] = audio
+                key = f"audio:{voice_ids[i]}:{speeds[i]}:{texts[i]}"
+                self._audio_cache_put(key, audio)
         return results

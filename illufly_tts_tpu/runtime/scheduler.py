@@ -81,6 +81,8 @@ class TTSServiceManager:
         chunk_size: int = 200,
         output_dir: Optional[str] = None,
         pipeline: Optional[CachedTTSPipeline] = None,
+        audio_history_limit: int = 64,
+        task_history_limit: int = 4096,
     ):
         self.batch_size = batch_size
         self.max_wait_time = max_wait_time
@@ -92,8 +94,15 @@ class TTSServiceManager:
             repo_id=repo_id, voices_dir=voices_dir, device=device
         )
         self.tasks: Dict[str, TTSTask] = {}
+        # memory bounds for a long-running server (the reference leaks every
+        # finished task's waveforms forever, service.py:66): keep waveforms
+        # for the newest `audio_history_limit` finished tasks and the status
+        # record for the newest `task_history_limit`.
+        self.audio_history_limit = audio_history_limit
+        self.task_history_limit = task_history_limit
         self._loop_task: Optional[asyncio.Task] = None
         self._shutdown = False
+        self._wakeup = asyncio.Event()
         self.counters = {
             "submitted": 0, "completed": 0, "failed": 0, "canceled": 0,
             "batches": 0, "audio_seconds": 0.0, "batch_seconds": 0.0,
@@ -155,6 +164,7 @@ class TTSServiceManager:
             task.debug_id = f"{int(time.time() * 1000)}_{task_id[:8]}"
         self.tasks[task_id] = task
         self.counters["submitted"] += 1
+        self._wakeup.set()
         logger.info(
             "task %s submitted (user=%s seq=%s)", task_id, user_id,
             task.sequence_id,
@@ -235,13 +245,48 @@ class TTSServiceManager:
         selected.sort(key=lambda t: t.sequence_id)
         return selected[: self.batch_size]
 
+    def _evict_history(self) -> None:
+        """Bound memory: finished tasks beyond the newest N lose their
+        waveforms; beyond a larger cap the record itself is dropped."""
+        finished = [
+            t for t in self.tasks.values()
+            if t.status in (
+                TaskStatus.COMPLETED, TaskStatus.FAILED, TaskStatus.CANCELED
+            )
+        ]
+        if len(finished) <= self.audio_history_limit:
+            return
+        finished.sort(key=lambda t: t.completed_at or 0.0)
+        for task in finished[: -self.audio_history_limit]:
+            task.audio_chunks = []
+        overflow = len(finished) - self.task_history_limit
+        for task in finished[:max(overflow, 0)]:
+            self.tasks.pop(task.task_id, None)
+
+    async def _wait_for_work(self, timeout: float) -> None:
+        self._wakeup.clear()
+        try:
+            await asyncio.wait_for(self._wakeup.wait(), timeout=timeout)
+        except asyncio.TimeoutError:
+            pass
+
     async def _batch_processing_loop(self) -> None:
         logger.info("batch loop started (window=%.3fs)", self.max_wait_time)
         while not self._shutdown:
             batch = self._select_batch()
             if not batch:
-                await asyncio.sleep(self.max_wait_time)
+                await self._wait_for_work(timeout=0.5)
                 continue
+            if len(batch) < self.batch_size:
+                # coalescing window: a partial batch waits out max_wait_time
+                # from the oldest member's arrival so concurrent requests can
+                # join (the reference plumbs this knob but never uses it,
+                # service.py:250; round 1 here only slept on an empty queue)
+                oldest = min(t.created_at for t in batch)
+                remaining = self.max_wait_time - (time.time() - oldest)
+                if remaining > 0:
+                    await self._wait_for_work(timeout=remaining)
+                    continue  # re-select: more tasks may have arrived
             for task in batch:
                 task.status = TaskStatus.PROCESSING
             try:
@@ -280,6 +325,7 @@ class TTSServiceManager:
                     task.error = str(exc)
                     task.completed_at = time.time()
                     self.counters["failed"] += 1
+            self._evict_history()
 
     async def start(self) -> None:
         if self._loop_task is None:

@@ -215,3 +215,30 @@ async def test_stats_endpoint():
         assert stats["submitted"] >= 1
         assert stats["completed"] >= 1
         assert stats["batches"] >= 1
+
+
+def test_authenticate_lowercased_headers():
+    """Starlette lowercases header keys (fastapi_compat passes plain dicts);
+    bearer auth and dev-mode headers must still resolve (ADVICE r1 #1)."""
+    from illufly_tts_tpu.api.auth import authenticate
+    from illufly_tts_tpu.api.dev_mode import header_get
+
+    token = create_access_token("case_user")
+    user = authenticate(
+        {"authorization": f"Bearer {token}"}, {}, {}
+    )
+    assert user["user_id"] == "case_user"
+    assert header_get({"x-dev-secret-key": "s"}, "X-Dev-Secret-Key") == "s"
+    assert header_get({"Referer": "/docs"}, "Referer") == "/docs"
+    assert header_get({}, "Authorization", "") == ""
+
+
+def test_dev_mode_lowercased_headers(monkeypatch):
+    from illufly_tts_tpu.api.dev_mode import handle_dev_auth
+
+    monkeypatch.setenv("TTS_DEV_MODE", "true")
+    monkeypatch.setenv("TTS_DEV_SECRET_KEY", "sk")
+    user = handle_dev_auth(
+        {"x-dev-secret-key": "sk", "x-dev-user": "alice"}, {}, None
+    )
+    assert user["user_id"] == "alice"

