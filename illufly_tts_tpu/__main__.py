@@ -21,6 +21,16 @@ logging.basicConfig(
 logger = logging.getLogger("illufly_tts_tpu")
 
 
+def _apply_device(device):
+    """Honor --device cpu (debugging/CI); TPU is the default platform.
+    The reference accepts cpu/cuda/mps (pipeline.py:61-68); here anything
+    other than cpu means 'the accelerator'."""
+    if device and device.lower() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 @click.group()
 def cli():
     """illufly-tts-tpu: TPU-native Chinese-first TTS service."""
@@ -42,6 +52,7 @@ def cli():
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
           chunk_size, output_dir, debug_output, zh_dict, en_dict):
     """Start the TTS HTTP service."""
+    _apply_device(device)
     from aiohttp import web
 
     from .api.endpoints import create_app
@@ -106,10 +117,13 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
 @click.option("--speed", default=1.0, type=float, help="speech speed")
 @click.option("--repo-id", default="", help="model params path")
 @click.option("--voices-dir", default=None, help="voice pack directory")
+@click.option("--device", default=None, help="cpu forces the CPU platform")
 @click.option("--segment/--no-segment", default=False,
               help="split long text into sentence segments")
-def synth(text, output, voice_id, speed, repo_id, voices_dir, segment):
+def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
+          segment):
     """Synthesize TEXT to a wav file (local, no server)."""
+    _apply_device(device)
     from .pipeline import CachedTTSPipeline
 
     pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir)

@@ -127,6 +127,14 @@ class Synthesizer:
             f.write(serialization.to_bytes(self.params))
 
     def load_params(self, path: str) -> None:
+        """Load model weights: flax msgpack (.msgpack/.bin) or a torch
+        Kokoro checkpoint (.pt/.pth) via the full converter — the reference
+        user's migration path (their HF checkpoint works directly)."""
+        if path.endswith((".pt", ".pth")):
+            from ..model.convert import load_torch_checkpoint
+
+            self.params = load_torch_checkpoint(path, self.params)
+            return
         from flax import serialization
 
         with open(path, "rb") as f:

@@ -124,30 +124,48 @@ class AdaLayerNorm(nn.Module):
 
 
 class Conv1d(nn.Module):
-    """'SAME'-padded 1-D conv, feature-last."""
+    """1-D conv, feature-last, torch-exact padding.
+
+    Default padding is torch's common "same-ish" ((k-1)*dilation)//2 on both
+    sides; pass ``padding`` explicitly for strided convs (torch and XLA
+    'SAME' disagree on the phase for stride > 1, e.g. the decoder's
+    stride-2 F0/N convs use torch padding=1)."""
 
     features: int
     kernel: int
     stride: int = 1
     dilation: int = 1
     groups: int = 1
+    padding: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
+        pad = self.padding
+        if pad is None:
+            pad = ((self.kernel - 1) * self.dilation) // 2
         return nn.Conv(
             features=self.features,
             kernel_size=(self.kernel,),
             strides=(self.stride,),
             kernel_dilation=(self.dilation,),
             feature_group_count=self.groups,
-            padding="SAME",
+            padding=[(pad, pad)],
             dtype=self.dtype,
             name="conv",
         )(x)
 
 
 class ConvTranspose1d(nn.Module):
+    """Transposed 1-D conv with torch-exact geometry.
+
+    Implemented as an lhs-dilated conv with a flipped kernel for every
+    group count (flax nn.ConvTranspose 'SAME' has a different phase than
+    torch ConvTranspose1d(padding=(k-s)//2)). Effective torch params:
+    padding = (k - s + 1)//2, output_padding = s - k + 2*padding, which
+    yields output length T*s for all (k, s) used in this model
+    (kokoro istftnet ups: (20,10), (12,6); AdainResBlk1d pool: (3,2))."""
+
     features: int
     kernel: int
     stride: int
@@ -156,16 +174,6 @@ class ConvTranspose1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.groups == 1:
-            return nn.ConvTranspose(
-                features=self.features,
-                kernel_size=(self.kernel,),
-                strides=(self.stride,),
-                padding="SAME",
-                dtype=self.dtype,
-                name="conv",
-            )(x)
-        # grouped transposed conv (used as learned 2x upsampler)
         assert self.features % self.groups == 0
         group_in = x.shape[-1] // self.groups
         kernel = self.param(
@@ -177,10 +185,6 @@ class ConvTranspose1d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         ).astype(self.dtype)
-        # transposed conv == lhs-dilated conv with a flipped kernel;
-        # padding (k-1-p, k-1-p+output_padding) matches torch
-        # ConvTranspose1d(k, s, padding=(k-s)//2 (=p), output_padding=s-1)
-        # giving output length T*s exactly.
         pad = max(0, (self.kernel - self.stride + 1) // 2)
         out_pad = self.stride - self.kernel + 2 * pad  # >= 0 by choice of pad
         pad_lo = self.kernel - 1 - pad

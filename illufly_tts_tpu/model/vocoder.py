@@ -108,6 +108,7 @@ class Generator(nn.Module):
                     stride_f0 *= r
                 x_src = Conv1d(
                     c_cur, kernel=stride_f0 * 2, stride=stride_f0,
+                    padding=(stride_f0 + 1) // 2,  # torch istftnet geometry
                     name=f"noise_conv_{i}", dtype=self.dtype,
                 )(har_spec)
                 x_src = AdaSnakeResBlock(

@@ -28,6 +28,11 @@ def _bases(n_fft: int):
     angle = 2.0 * np.pi * np.outer(n, k) / n_fft          # [n_fft, K]
     fwd_cos = np.cos(angle).T                              # [K, n_fft]
     fwd_sin = -np.sin(angle).T
+    # snap analytically-zero entries (DC/Nyquist sine rows) to +0.0: the
+    # sign of a ±0 imaginary part decides atan2's ±π branch, which must be
+    # deterministic across backends (phase is a network input feature)
+    fwd_cos = np.where(np.abs(fwd_cos) < 1e-12, 0.0, fwd_cos)
+    fwd_sin = np.where(np.abs(fwd_sin) < 1e-12, 0.0, fwd_sin)
     # inverse: x[n] = sum_k w_k (Re cos - Im sin), w = 2/N except DC/Nyquist
     w = np.full(n_fft // 2 + 1, 2.0 / n_fft)
     w[0] = 1.0 / n_fft
@@ -72,6 +77,8 @@ def stft_magphase(x: jnp.ndarray, n_fft: int, hop: int):
     re = jnp.matmul(frames, fwd_cos.T.astype(x.dtype), precision=hi)
     im = jnp.matmul(frames, fwd_sin.T.astype(x.dtype), precision=hi)
     mag = jnp.sqrt(re * re + im * im + 1e-9)
+    # canonicalize -0.0 -> +0.0 so atan2(0, re<0) lands on +pi everywhere
+    im = jnp.where(im == 0.0, 0.0, im)
     phase = jnp.arctan2(im, re)
     return mag, phase
 

@@ -124,3 +124,16 @@ class TestZhNormalizer:
 
     def test_iso_date(self):
         assert "二零二三年六月十五日" in norm("活动日期2023/06/15开始")
+
+
+def test_t2s_table_mechanically_valid():
+    """Every trad->simp pair is a real conversion: 2 chars, trad != simp,
+    one mapping per traditional char (VERDICT r1 weak #8)."""
+    from illufly_tts_tpu.frontend.normalization.zh.chars import _T2S_PAIRS
+
+    pairs = _T2S_PAIRS.split()
+    seen = {}
+    for p in pairs:
+        assert len(p) == 2, f"malformed pair: {p!r}"
+        assert p[0] != p[1], f"identity pair: {p!r}"
+        assert seen.setdefault(p[0], p[1]) == p[1], f"conflict for {p[0]}"
