@@ -49,8 +49,10 @@ def cli():
 @click.option("--debug-output", is_flag=True, help="dump per-task debug wavs")
 @click.option("--zh-dict", default=None, help="custom zh pronunciation dict")
 @click.option("--en-dict", default=None, help="custom en pronunciation dict")
+@click.option("--dp", default=0, type=int,
+              help="data-parallel serving over N chips (0 = single device)")
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
-          chunk_size, output_dir, debug_output, zh_dict, en_dict):
+          chunk_size, output_dir, debug_output, zh_dict, en_dict, dp):
     """Start the TTS HTTP service."""
     _apply_device(device)
     from aiohttp import web
@@ -86,6 +88,16 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
             "(%s) — JWTs are forgeable. Set FASTAPI_SECRET_KEY.", host,
         )
 
+    pipeline = None
+    if dp and dp > 1:
+        from .parallel.mesh import make_mesh
+        from .pipeline import CachedTTSPipeline
+
+        logger.info("data-parallel serving over %d chips", dp)
+        pipeline = CachedTTSPipeline(
+            repo_id=repo_id, voices_dir=voices_dir, device=device,
+            mesh=make_mesh(n_data=dp),
+        )
     cors_origins = os.environ.get("TTS_CORS_ORIGINS", "")
     app = create_app(
         repo_id=repo_id,
@@ -95,6 +107,7 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         max_wait_time=max_wait_time,
         chunk_size=chunk_size,
         output_dir=output_dir,
+        pipeline=pipeline,
     )
     if cors_origins:
         @web.middleware
@@ -118,12 +131,23 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
 @click.option("--repo-id", default="", help="model params path")
 @click.option("--voices-dir", default=None, help="voice pack directory")
 @click.option("--device", default=None, help="cpu forces the CPU platform")
+@click.option("--zh-dict", default=None, help="custom zh pronunciation dict")
+@click.option("--en-dict", default=None,
+              help="custom en dict (text lines or misaki-format JSON)")
 @click.option("--segment/--no-segment", default=False,
               help="split long text into sentence segments")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          segment):
+          zh_dict, en_dict, segment):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
+    if zh_dict:
+        from .frontend.g2p.custom_dict import load_zh_dict
+
+        load_zh_dict(zh_dict)
+    if en_dict:
+        from .frontend.g2p.custom_dict import load_en_dict
+
+        load_en_dict(en_dict)
     from .pipeline import CachedTTSPipeline
 
     pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir)

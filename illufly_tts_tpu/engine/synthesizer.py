@@ -74,11 +74,20 @@ class Synthesizer:
         self.config = config or KokoroConfig()
         self.model = KokoroModel(self.config)
         self.voices_dir = voices_dir
+        # data-parallel serving: params are placed per parallel/mesh.py
+        # shardings, batches are sharded over the 'data' axis, and XLA
+        # (GSPMD) partitions both compiled stages — the SURVEY §2 mapping
+        # of the reference's single-device model to TPU chips
         self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
         self.token_buckets = token_buckets
         self.frame_buckets = frame_buckets
         self.sample_rate = self.config.sample_rate
-        self._voices: Dict[str, jnp.ndarray] = {}
+        self._voices: Dict[str, np.ndarray] = {}  # host-side [L, 256]
         self._lock = threading.Lock()
         self._stage_a = {}
         self._stage_b = {}
@@ -86,7 +95,14 @@ class Synthesizer:
         if params is None:
             logger.info("initializing random model parameters (no checkpoint)")
             params = self._random_init(seed)
-        self.params = params
+        self.params = self._place_params(params)
+
+    def _place_params(self, params):
+        if self.mesh is None:
+            return params
+        from ..parallel.mesh import shard_params
+
+        return shard_params(params, self.mesh)
 
     # --- parameters ----------------------------------------------------------
 
@@ -133,18 +149,25 @@ class Synthesizer:
         if path.endswith((".pt", ".pth")):
             from ..model.convert import load_torch_checkpoint
 
-            self.params = load_torch_checkpoint(path, self.params)
+            self.params = self._place_params(
+                load_torch_checkpoint(path, self.params)
+            )
             return
         from flax import serialization
 
         with open(path, "rb") as f:
-            self.params = serialization.from_bytes(self.params, f.read())
+            self.params = self._place_params(
+                serialization.from_bytes(self.params, f.read())
+            )
 
     # --- voices ---------------------------------------------------------------
 
-    def load_voice(self, voice_id: str) -> jnp.ndarray:
+    def load_voice(self, voice_id: str) -> np.ndarray:
         """Voice pack [L, 256]: style embedding indexed by phoneme length
-        (reference pipeline.py:78-109 search order: voices_dir then cache)."""
+        (reference pipeline.py:78-109 search order: voices_dir then cache).
+        Kept host-side: per-item length indexing is a host slice and the
+        selected rows ship with the batch upload (no per-item device
+        gather + readback)."""
         if voice_id in self._voices:
             return self._voices[voice_id]
         pack = None
@@ -175,7 +198,7 @@ class Synthesizer:
         if pack.ndim == 1:
             pack = np.tile(pack[None, :], (MAX_PHONEMES, 1))
         with self._lock:
-            self._voices[voice_id] = jnp.asarray(pack)
+            self._voices[voice_id] = pack
         return self._voices[voice_id]
 
     def register_voice(self, voice_id: str, pack: np.ndarray) -> None:
@@ -183,7 +206,7 @@ class Synthesizer:
         if pack.ndim == 1:
             pack = np.tile(pack[None, :], (MAX_PHONEMES, 1))
         with self._lock:
-            self._voices[voice_id] = jnp.asarray(pack)
+            self._voices[voice_id] = pack
 
     def register_random_voice(self, voice_id: str, seed: int = 0) -> None:
         rng = np.random.RandomState(seed)
@@ -276,7 +299,10 @@ class Synthesizer:
             ids if len(ids) <= t_bucket else ids[: t_bucket - 1] + [0]
             for ids in id_lists
         ]
-        b_bucket = pick(BATCH_BUCKETS, n)
+        # under a mesh the batch dim must divide the 'data' axis; buckets
+        # are powers of two, so padding up to the axis size suffices
+        min_b = 1 if self.mesh is None else self.mesh.shape["data"]
+        b_bucket = pick(BATCH_BUCKETS, max(n, min_b))
 
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         mask = np.zeros((b_bucket, t_bucket), np.float32)
@@ -289,15 +315,19 @@ class Synthesizer:
             mask[i, : len(id_list)] = 1.0
             pack = self.load_voice(voice_ids[i])
             row = min(len(phonemes_list[i]) - 1, pack.shape[0] - 1)
-            ref_s[i] = np.asarray(pack[max(row, 0)])
+            ref_s[i] = pack[max(row, 0)]
             speed_arr[i] = speeds[i]
 
-        ids_d = jnp.asarray(ids)
-        mask_d = jnp.asarray(mask)
-        ref_d = jnp.asarray(ref_s)
+        if self._batch_sharding is not None:
+            put = partial(jax.device_put, device=self._batch_sharding)
+        else:
+            put = jnp.asarray
+        ids_d = put(ids)
+        mask_d = put(mask)
+        ref_d = put(ref_s)
         stage_a = self._get_stage_a(b_bucket, t_bucket)
         duration, d = stage_a(
-            self.params, ids_d, mask_d, ref_d, jnp.asarray(speed_arr)
+            self.params, ids_d, mask_d, ref_d, put(speed_arr)
         )
         pred_dur = KokoroModel.quantize_durations(duration, mask_d)
         totals = pred_dur.sum(axis=-1)  # [B] int32, on device

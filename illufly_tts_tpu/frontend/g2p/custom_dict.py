@@ -51,10 +51,39 @@ def load_zh_dict(path: str) -> Dict[str, List[str]]:
 
 
 def load_en_dict(path: str) -> Dict[str, str]:
-    """Load en word->IPA entries into the live English lexicon."""
+    """Load en word->IPA entries into the live English lexicon.
+
+    Two formats:
+    - text lines ``word ipa`` (this repo's format, see module docstring)
+    - misaki-format JSON (the reference's 13 MB ``us_gold.json``/silver
+      lexicons, reference english_g2p.py:160-170): ``{"word": "ipa"}`` or
+      ``{"word": {"DEFAULT": "ipa", "VERB": ...}}`` — reference users can
+      point --en-dict straight at their gold files.
+    """
     from .en_lexicon import LEXICON
 
     added: Dict[str, str] = {}
+    if path.endswith(".json"):
+        import json
+
+        with open(path, encoding="utf-8") as f:
+            data = json.load(f)
+        for word, value in data.items():
+            if isinstance(value, dict):
+                value = value.get("DEFAULT")
+            if not isinstance(value, str) or not value:
+                continue
+            key = word.lower()
+            # lowercase source keys win over case-variant proper nouns
+            if key in added and word != key:
+                continue
+            LEXICON[key] = value
+            added[key] = value
+        logger.info(
+            "loaded %d en lexicon entries from %s (misaki json)",
+            len(added), path,
+        )
+        return added
     with open(path, encoding="utf-8") as f:
         for line in f:
             line = line.split("#", 1)[0].strip()

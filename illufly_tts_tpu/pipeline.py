@@ -51,6 +51,7 @@ class TTSPipeline:
         synthesizer: Optional[Synthesizer] = None,
         params_path: Optional[str] = None,
         fail_silent: bool = False,
+        mesh=None,
     ):
         self.repo_id = repo_id
         self.voices_dir = voices_dir
@@ -68,7 +69,9 @@ class TTSPipeline:
         self.zh_normalizer = ZhTextNormalizer()
         self.en_normalizer = EnTextNormalizer()
 
-        self.synthesizer = synthesizer or Synthesizer(voices_dir=voices_dir)
+        self.synthesizer = synthesizer or Synthesizer(
+            voices_dir=voices_dir, mesh=mesh
+        )
         if params_path and os.path.exists(params_path):
             self.synthesizer.load_params(params_path)
         elif repo_id and os.path.isfile(repo_id):

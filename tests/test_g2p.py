@@ -130,8 +130,11 @@ class TestEnglishG2P:
         assert g2p.word_to_ipa("raining").endswith("ɪŋ")
 
     def test_acronym(self, g2p):
+        # NNP stress re-split (reference english_g2p.py:204-250): secondary
+        # stress on every letter except the last, primary on the last
         ipa = g2p.word_to_ipa("ASAP")
-        assert "ˈeɪ" in ipa and "ˈɛs" in ipa
+        assert ipa == "ˌeɪˌɛsˌeɪpˈi"
+        assert g2p.word_to_ipa("USA") == "jˌuˌɛsˈeɪ"
 
     def test_oov_lts(self, g2p):
         # deterministic non-empty output for OOV words

@@ -89,3 +89,43 @@ def test_param_specs_cover_tp(setup):
                                is_leaf=lambda x: hasattr(x, "spec"))
     )
     assert any("model" in s for s in specs), "no TP-sharded params found"
+
+
+def test_sharded_serving_matches_single():
+    """The SERVING engine (not just the raw model) runs data-parallel over
+    the mesh and matches the single-device path (VERDICT r1 next-#3)."""
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    cfg = tiny_config()
+    single = Synthesizer(config=cfg, token_buckets=(16,),
+                         frame_buckets=(64,))
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = Synthesizer(config=cfg, params=single.params, mesh=mesh,
+                          token_buckets=(16,), frame_buckets=(64,))
+    single.register_random_voice("v", seed=3)
+    sharded.register_random_voice("v", seed=3)
+
+    texts = ["ni→xau↓", "tsʰɤ↘ʂɨ↘", "a→", "ma→ma→", "ni→", "xau↓",
+             "tsai↘tɕjɛn↘", "i→əɹ↘"]
+    base = single.synthesize_batch(texts, ["v"] * 8)
+    dp = sharded.synthesize_batch(texts, ["v"] * 8)
+    assert len(base) == len(dp) == 8
+    for a, b in zip(base, dp):
+        assert a.size == b.size
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+
+
+def test_sharded_serving_pads_small_batches():
+    """A single request on an 8-chip mesh pads the batch bucket up to the
+    data-axis size instead of failing to shard."""
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    cfg = tiny_config()
+    mesh = make_mesh(n_data=8, n_model=1)
+    synth = Synthesizer(config=cfg, mesh=mesh, token_buckets=(16,),
+                        frame_buckets=(64,))
+    synth.register_random_voice("v", seed=1)
+    audio = synth.synthesize_batch(["ni→xau↓"], ["v"])
+    assert len(audio) == 1
+    assert audio[0].size > 0 and np.all(np.isfinite(audio[0]))
