@@ -132,10 +132,9 @@ def split_initial_final(pinyin: str) -> Tuple[str, str]:
         # ju -> v, juan -> van, jun -> vn, jue -> ve
         if final.startswith("u"):
             final = "v" + final[1:]
-        if final == "vn":
-            pass
-        elif final == "van":
-            pass
+    elif initial in ("n", "l") and final.startswith("ue"):
+        # ASCII 'lue'/'nue' spell lüe/nüe: the final is ve (ü), not ue
+        final = "v" + final[1:]
     if final in _EXPAND:
         final = _EXPAND[final]
     if final == "u:" or final == "ü":
