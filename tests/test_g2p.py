@@ -200,3 +200,84 @@ class TestGB2312Coverage:
         assert word_pinyin("掠夺") == ["lue4", "duo2"]
         assert split_initial_final("lue4") == ("l", "ve4")
         assert split_initial_final("nue4") == ("n", "ve4")
+
+
+class TestToneSandhiRules:
+    """Rule battery mirroring the reference inventory
+    (reference: src/illufly_tts/core/g2p/tone_sandhi.py:97-218)."""
+
+    @pytest.fixture(scope="class")
+    def ts(self):
+        from illufly_tts_tpu.frontend.g2p.tone_sandhi import ToneSandhi
+        return ToneSandhi()
+
+    def test_ge_classifier(self, ts):
+        # numeral + 个 -> neutral
+        assert ts.modified_tone("三个", "m", ["an1", "e4"]) == ["an1", "e5"]
+        assert ts.modified_tone("每个", "r", ["ei3", "e4"]) == ["ei3", "e5"]
+        assert ts.modified_tone("个", "q", ["e4"]) == ["e5"]
+
+    def test_aspect_markers(self, ts):
+        assert ts.modified_tone("了", "ul", ["e5"]) == ["e5"]
+        assert ts.modified_tone("着", "uz", ["e2"]) == ["e5"]
+        assert ts.modified_tone("过", "ug", ["uo4"]) == ["uo5"]
+        # 过 as a verb keeps its tone
+        assert ts.modified_tone("过", "v", ["uo4"]) == ["uo4"]
+
+    def test_locative_and_directional(self, ts):
+        # 桌上 (s pos) -> neutral 上
+        assert ts.modified_tone("桌上", "s", ["uo1", "ang4"]) == \
+            ["uo1", "ang5"]
+        # 上来/下去 -> neutral final
+        assert ts.modified_tone("上来", "v", ["ang4", "ai2"]) == \
+            ["ang4", "ai5"]
+        assert ts.modified_tone("下去", "v", ["ia4", "v4"]) == ["ia4", "v5"]
+
+    def test_bu_complement(self, ts):
+        # X不Y -> neutral 不 (看不懂)
+        out = ts.modified_tone("看不懂", "v", ["an4", "u4", "ong3"])
+        assert out[1] == "u5"
+        # 不 + tone4 -> bu2
+        out = ts.modified_tone("不是", "d", ["u4", "i4"])
+        assert out[0] == "u2"
+
+    def test_yi_digit_sequence(self, ts):
+        # digit strings keep yi1: 一零一
+        out = ts.modified_tone("一零一", "m", ["i1", "ing2", "i1"])
+        assert out == ["i1", "ing2", "i1"]
+
+    def test_neutral_subword(self, ts):
+        # suffix match inside longer words: X + 石头
+        out = ts.modified_tone("小石头", "n", ["iao3", "i2", "ou2"])
+        assert out[-1] == "ou5"
+
+    def test_three_sandhi_structures(self, ts):
+        # 2-char all third: first rises
+        assert ts.modified_tone("勇敢", "a", ["ong3", "an3"]) == \
+            ["ong2", "an3"]
+        # mono+disyllabic all-third (纸老虎): middle rises
+        out = ts.modified_tone("纸老虎", "n", ["i3", "ao3", "u3"])
+        assert out == ["i3", "ao2", "u3"]
+        # 4-char idiom: 2+2 split
+        out = ts.modified_tone(
+            "彼此理解", "n", ["i3", "i3", "i3", "ie3"])
+        assert out == ["i2", "i3", "i2", "ie3"]
+
+    def test_must_not_neural(self, ts):
+        # physics 子-words keep the full tone
+        assert ts.modified_tone("电子", "n", ["ian4", "i3"]) == \
+            ["ian4", "i3"]
+        assert ts.modified_tone("原子", "n", ["van2", "i3"]) == \
+            ["van2", "i3"]
+
+    def test_pre_merge_bu_yi(self, ts):
+        seg = [("听", "v"), ("一", "m"), ("听", "v")]
+        assert ts.pre_merge_for_modify(seg)[0][0] == "听一听"
+        seg = [("不", "d"), ("知道", "v")]
+        assert ts.pre_merge_for_modify(seg)[0][0] == "不知道"
+
+    def test_pre_merge_three_tones(self, ts):
+        # 很(3) + 好(3)X: merged so sandhi sees the boundary
+        seg = [("很", "d"), ("好听", "a")]
+        merged = ts.pre_merge_for_modify(seg)
+        assert merged[0][0] == "很好听"
