@@ -281,3 +281,66 @@ class TestToneSandhiRules:
         seg = [("很", "d"), ("好听", "a")]
         merged = ts.pre_merge_for_modify(seg)
         assert merged[0][0] == "很好听"
+
+
+class TestPolyphoneBattery:
+    """Polyphone disambiguation via the expanded phrase table
+    (reference relies on pypinyin phrase dicts, zh_frontend.py:81-88)."""
+
+    CASES = {
+        # word: expected syllable for the marked char
+        "银行": ["yin2", "hang2"],
+        "行业": ["hang2", "ye4"],
+        "成长": ["cheng2", "zhang3"],
+        "擅长": ["shan4", "chang2"],
+        "音乐": ["yin1", "yue4"],
+        "快乐": ["kuai4", "le4"],
+        "人参": ["ren2", "shen1"],
+        "参加": ["can1", "jia1"],
+        "子弹": ["zi3", "dan4"],
+        "弹琴": ["tan2", "qin2"],
+        "调查": ["diao4", "cha2"],
+        "调整": ["tiao2", "zheng3"],
+        "重庆": ["chong2", "qing4"],
+        "重要": ["zhong4", "yao4"],
+        "传记": ["zhuan4", "ji4"],
+        "传说": ["chuan2", "shuo1"],
+        "西藏": ["xi1", "zang4"],
+        "躲藏": ["duo3", "cang2"],
+        "会计师": ["kuai4", "ji4", "shi1"],
+        "开会": ["kai1", "hui4"],
+        "朝阳": ["zhao1", "yang2"],
+        "朝代": ["chao2", "dai4"],
+        "东莞": ["dong1", "guan3"],
+        "纤夫": ["qian4", "fu1"],
+        "纤维": ["xian1", "wei2"],
+        "呼吁": ["hu1", "yu4"],
+        "恶心": ["e3", "xin1"],
+        "厌恶": ["yan4", "wu4"],
+        "薄荷": ["bo4", "he5"],
+        "单薄": ["dan1", "bo2"],
+        "数落": ["shu3", "luo4"],
+        "数量": ["shu4", "liang4"],
+    }
+
+    def test_word_readings(self):
+        from illufly_tts_tpu.frontend.g2p.pinyin.engine import word_pinyin
+
+        for word, expect in self.CASES.items():
+            assert word_pinyin(word) == expect, word
+
+    def test_table_size(self):
+        from illufly_tts_tpu.frontend.g2p.pinyin.phrases import PHRASES
+
+        assert len(PHRASES) >= 2000
+
+    def test_all_phrase_syllables_split(self):
+        from illufly_tts_tpu.frontend.g2p.pinyin.phrases import PHRASES
+        from illufly_tts_tpu.frontend.g2p.pinyin.engine import (
+            split_initial_final)
+
+        for word, syls in PHRASES.items():
+            assert len(word) == len(syls), word
+            for s in syls:
+                ini, fin = split_initial_final(s)
+                assert fin and fin[-1].isdigit(), (word, s)
