@@ -31,8 +31,36 @@ RE_DATE_MD = re.compile(
     rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(st|nd|rd|th)\b", re.IGNORECASE
 )
 RE_DATE_ISO = re.compile(r"\b(\d{4})[-/](0?[1-9]|1[0-2])[-/](0?[1-9]|[12]\d|3[01])\b")
+RE_DATE_US = re.compile(
+    r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{4})\b"
+)
 RE_YEAR = re.compile(r"\b([12]\d{3})\b")
 RE_YEAR_RANGE = re.compile(r"\b([12]\d{3})\s*[-~]\s*([12]\d{3})\b")
+# date ranges (reference en/chronology.py:289-362 reads both numeric forms
+# as "from <date> to <date>"; the named-month form covers prose ranges
+# like "June 1 - July 4, 2023")
+RE_DATE_RANGE_US = re.compile(
+    r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})"
+    r"\s*[-~–]\s*"
+    r"(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})\b"
+)
+RE_DATE_RANGE_ISO = re.compile(
+    r"\b(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])"
+    r"\s*[-~–]\s*"
+    r"(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])\b"
+)
+RE_DATE_RANGE_NAMED = re.compile(
+    rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
+    rf"\s*[-~–]\s*"
+    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
+    rf"(?:\s*,\s*(\d{{4}}))?",
+    re.IGNORECASE,
+)
+RE_DAY_RANGE_NAMED = re.compile(
+    rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
+    rf"\s*[-~–]\s*(\d{{1,2}})(?:st|nd|rd|th)?\b",
+    re.IGNORECASE,
+)
 
 
 def verbalize_year(year: int) -> str:
@@ -97,6 +125,52 @@ def replace_date_iso(match: re.Match) -> str:
     return f"{month} {day} {year}"
 
 
+def _year_any(digits: str) -> str:
+    """Year text for a 2- or 4-digit year string ('23' -> 2023)."""
+    year = int(digits)
+    if len(digits) == 2:
+        year += 2000
+    return verbalize_year(year)
+
+
+def replace_date_us(match: re.Match) -> str:
+    month = MONTHS[int(match.group(1)) - 1]
+    day = verbalize_ordinal(int(match.group(2)))
+    return f"{month} {day} {verbalize_year(int(match.group(3)))}"
+
+
+def replace_date_range_us(match: re.Match) -> str:
+    m1, d1, y1, m2, d2, y2 = match.groups()
+    start = f"{MONTHS[int(m1) - 1]} {verbalize_ordinal(int(d1))} {_year_any(y1)}"
+    end = f"{MONTHS[int(m2) - 1]} {verbalize_ordinal(int(d2))} {_year_any(y2)}"
+    return f"from {start} to {end}"
+
+
+def replace_date_range_iso(match: re.Match) -> str:
+    y1, m1, d1, y2, m2, d2 = match.groups()
+    start = f"{MONTHS[int(m1) - 1]} {verbalize_ordinal(int(d1))} {_year_any(y1)}"
+    end = f"{MONTHS[int(m2) - 1]} {verbalize_ordinal(int(d2))} {_year_any(y2)}"
+    return f"from {start} to {end}"
+
+
+def replace_date_range_named(match: re.Match) -> str:
+    m1, d1, m2, d2, year = match.groups()
+    start = f"{m1.capitalize()} {verbalize_ordinal(int(d1))}"
+    end = f"{m2.capitalize()} {verbalize_ordinal(int(d2))}"
+    out = f"from {start} to {end}"
+    if year:
+        out += f" {verbalize_year(int(year))}"
+    return out
+
+
+def replace_day_range_named(match: re.Match) -> str:
+    month, d1, d2 = match.groups()
+    return (
+        f"{month.capitalize()} {verbalize_ordinal(int(d1))}"
+        f" to {verbalize_ordinal(int(d2))}"
+    )
+
+
 def replace_year(match: re.Match) -> str:
     return verbalize_year(int(match.group(1)))
 
@@ -109,8 +183,12 @@ def replace_year_range(match: re.Match) -> str:
 
 
 __all__ = [
-    "RE_TIME", "RE_DATE_MDY", "RE_DATE_MD", "RE_DATE_ISO", "RE_YEAR",
-    "RE_YEAR_RANGE", "replace_time", "replace_date_mdy", "replace_date_md",
-    "replace_date_iso", "replace_year", "replace_year_range",
+    "RE_TIME", "RE_DATE_MDY", "RE_DATE_MD", "RE_DATE_ISO", "RE_DATE_US",
+    "RE_YEAR", "RE_YEAR_RANGE", "RE_DATE_RANGE_US", "RE_DATE_RANGE_ISO",
+    "RE_DATE_RANGE_NAMED", "RE_DAY_RANGE_NAMED",
+    "replace_time", "replace_date_mdy", "replace_date_md",
+    "replace_date_iso", "replace_date_us", "replace_year",
+    "replace_year_range", "replace_date_range_us", "replace_date_range_iso",
+    "replace_date_range_named", "replace_day_range_named",
     "verbalize_year", "verbalize_ordinal", "num_to_words",
 ]

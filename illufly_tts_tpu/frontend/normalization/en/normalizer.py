@@ -16,12 +16,22 @@ from .chronology import (
     RE_DATE_ISO,
     RE_DATE_MD,
     RE_DATE_MDY,
+    RE_DATE_RANGE_ISO,
+    RE_DATE_RANGE_NAMED,
+    RE_DATE_RANGE_US,
+    RE_DATE_US,
+    RE_DAY_RANGE_NAMED,
     RE_TIME,
     RE_YEAR,
     RE_YEAR_RANGE,
     replace_date_iso,
     replace_date_md,
     replace_date_mdy,
+    replace_date_range_iso,
+    replace_date_range_named,
+    replace_date_range_us,
+    replace_date_us,
+    replace_day_range_named,
     replace_time,
     replace_year,
     replace_year_range,
@@ -82,9 +92,16 @@ class EnTextNormalizer:
         return text
 
     def normalize_sentence(self, sentence: str) -> str:
+        # date ranges before single dates / year ranges so the longer
+        # pattern wins (reference cascade order, text_normalization.py:211-213)
+        sentence = RE_DATE_RANGE_US.sub(replace_date_range_us, sentence)
+        sentence = RE_DATE_RANGE_ISO.sub(replace_date_range_iso, sentence)
+        sentence = RE_DATE_RANGE_NAMED.sub(replace_date_range_named, sentence)
+        sentence = RE_DAY_RANGE_NAMED.sub(replace_day_range_named, sentence)
         sentence = RE_YEAR_RANGE.sub(replace_year_range, sentence)
         sentence = RE_DATE_MDY.sub(replace_date_mdy, sentence)
         sentence = RE_DATE_ISO.sub(replace_date_iso, sentence)
+        sentence = RE_DATE_US.sub(replace_date_us, sentence)
         sentence = RE_DATE_MD.sub(replace_date_md, sentence)
         sentence = RE_TIME.sub(replace_time, sentence)
         sentence = RE_PHONE_US.sub(replace_phone, sentence)
