@@ -17,6 +17,7 @@ import jieba.posseg as psg
 from .pinyin.engine import split_initial_final, word_pinyin
 from .tokens import MToken
 from .tone_sandhi import ToneSandhi
+from ..normalization.zh.chars import traditional_to_simplified
 from .zhuyin import syllable_to_zhuyin
 
 _CJK = re.compile(r"[一-鿿]")
@@ -111,6 +112,11 @@ class ZHFrontend:
     def __call__(self, text: str, with_erhua: bool = True):
         tokens: List[MToken] = []
         pending = []  # (token, initials, finals) awaiting cross-word sandhi
+        # traditional input reads correctly even without the normalizer
+        # pre-pass (the reference gets this from pypinyin's trad-aware
+        # dict; we convert before segmentation -- jieba also segments
+        # simplified text better)
+        text = traditional_to_simplified(text)
         seg_cut = psg.lcut(text)
         seg_cut = [(w, p) for w, p in seg_cut]
         seg_cut = self.tone_modifier.pre_merge_for_modify(seg_cut)
