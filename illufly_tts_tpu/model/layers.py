@@ -159,12 +159,23 @@ class Conv1d(nn.Module):
 class ConvTranspose1d(nn.Module):
     """Transposed 1-D conv with torch-exact geometry.
 
-    Implemented as an lhs-dilated conv with a flipped kernel for every
-    group count (flax nn.ConvTranspose 'SAME' has a different phase than
-    torch ConvTranspose1d(padding=(k-s)//2)). Effective torch params:
+    Semantics: lhs-dilated conv with a flipped kernel (flax
+    nn.ConvTranspose 'SAME' has a different phase than torch
+    ConvTranspose1d(padding=(k-s)//2)). Effective torch params:
     padding = (k - s + 1)//2, output_padding = s - k + 2*padding, which
     yields output length T*s for all (k, s) used in this model
-    (kokoro istftnet ups: (20,10), (12,6); AdainResBlk1d pool: (3,2))."""
+    (kokoro istftnet ups: (20,10), (12,6); AdainResBlk1d pool: (3,2)).
+
+    TPU lowering note (measured, round 2): the lhs-dilation form LOOKS
+    like it wastes (s-1)/s of the MXU work on inserted zeros, but XLA's
+    TPU conv emitter already decomposes it — measured 3.46 ms at the
+    generator's (k=20, s=10) [32, 1024, 512->256] shape vs a 2.0 ms
+    useful-FLOPs roofline (~85 TF/s bf16 chip). An explicit sub-pixel
+    phase decomposition (stride-1 conv with a [ceil(k/s)+1, C_in,
+    s*C_out] phase-stacked weight + depth-to-space reshape) was built,
+    torch-parity-tested, and measured SLOWER (0.61x / 0.45x at the two
+    generator geometries) because it does k/s+1 taps where only k/s
+    carry signal. Keep the dilated form."""
 
     features: int
     kernel: int
@@ -185,17 +196,18 @@ class ConvTranspose1d(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.features,), jnp.float32
         ).astype(self.dtype)
-        pad = max(0, (self.kernel - self.stride + 1) // 2)
-        out_pad = self.stride - self.kernel + 2 * pad  # >= 0 by choice of pad
-        pad_lo = self.kernel - 1 - pad
-        pad_hi = self.kernel - 1 - pad + out_pad
+        k, s = self.kernel, self.stride
+        pad = max(0, (k - s + 1) // 2)
+        out_pad = s - k + 2 * pad  # >= 0 by choice of pad
+        pad_lo = k - 1 - pad
+        pad_hi = k - 1 - pad + out_pad
         flipped = jnp.flip(kernel, axis=0)  # [K, in/groups, out]
         y = jax.lax.conv_general_dilated(
             x,
             flipped,
             window_strides=(1,),
             padding=[(pad_lo, pad_hi)],
-            lhs_dilation=(self.stride,),
+            lhs_dilation=(s,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=self.groups,
         )

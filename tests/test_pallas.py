@@ -39,25 +39,31 @@ def test_fused_adain_snake_conv(k, d):
     from illufly_tts_tpu.ops.pallas.fused_conv import (
         adain_snake_conv,
         adain_snake_conv_reference,
+        fold_adain,
         instance_moments,
     )
 
     rng = np.random.RandomState(0)
-    B, L, C = 2, 256, 128
+    B, L, C = 2, 384, 128
     x = jnp.asarray(rng.randn(B, L, C).astype(np.float32) * 0.5)
+    mask = jnp.asarray(
+        (np.arange(L)[None, :] < np.array([[L], [300]])).astype(np.float32)
+    ).reshape(B, L)
     gamma = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
     beta = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
     alpha = jnp.asarray(np.abs(rng.randn(C)).astype(np.float32) + 0.5)
     w = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
     bias = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
-    mean, rstd = instance_moments(x)
+    mean, rstd = instance_moments(x, mask)
+    scale, shift = fold_adain(mean, rstd, gamma, beta)
 
+    x_t = jnp.transpose(x, (0, 2, 1))  # kernel layout [B, C, L]
     ref = adain_snake_conv_reference(
-        x, mean, rstd, gamma, beta, alpha, w, bias, k, d
+        x_t, mask, scale, shift, alpha, w, bias, k, d
     )
     out = adain_snake_conv(
-        x, mean, rstd, gamma, beta, alpha, w, bias, k, d,
-        block_len=128, interpret=True,
+        x_t, mask, scale, shift, alpha, w, bias, k, d,
+        block_len=256, interpret=True,
     )
     assert out.shape == ref.shape
     np.testing.assert_allclose(

@@ -201,6 +201,8 @@ def test_end_to_end_matches(twin_pair):
 
 @pytest.mark.parametrize("kernel,stride,groups", [
     (20, 10, 1), (12, 6, 1), (3, 2, 8),
+    # off-model geometries: keep the sub-pixel phase decomposition honest
+    (9, 4, 1), (10, 5, 1), (3, 2, 1),
 ])
 def test_convtranspose_matches_torch(kernel, stride, groups):
     """layers.ConvTranspose1d == torch ConvTranspose1d for every geometry
