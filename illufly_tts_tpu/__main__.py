@@ -164,6 +164,165 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
     )
 
 
+@cli.command()
+@click.option("--repo-id", default="", help="model params path")
+@click.option("--voices-dir", default=None, help="voice pack directory")
+@click.option("--device", default=None, help="cpu forces the CPU platform")
+@click.option("--batch-size", default=4, type=int)
+@click.option("--max-wait-time", default=0.2, type=float)
+@click.option("--chunk-size", default=200, type=int)
+@click.option("--transport", default="stdio",
+              type=click.Choice(["stdio", "sse"]), help="MCP transport")
+@click.option("--host", default="0.0.0.0", help="bind host (sse)")
+@click.option("--port", default=31572, type=int, help="bind port (sse)")
+def server(repo_id, voices_dir, device, batch_size, max_wait_time,
+           chunk_size, transport, host, port):
+    """Start the MCP TTS server (split deployment, engine side).
+
+    Reference: README.md:49-51 / server.log:4 —
+    ``python -m illufly_tts server --transport=sse --port=31572``."""
+    _apply_device(device)
+    from .mcp.server import run_server
+
+    run_server(
+        transport=transport, host=host, port=port,
+        repo_id=repo_id, voices_dir=voices_dir, device=device,
+        batch_size=batch_size, max_wait_time=max_wait_time,
+        chunk_size=chunk_size,
+    )
+
+
+@cli.command()
+@click.option("--host", default="0.0.0.0", help="gateway bind host")
+@click.option("--port", default=31571, type=int, help="gateway bind port")
+@click.option("--server-host", default=None, help="remote MCP server host")
+@click.option("--server-port", default=31572, type=int,
+              help="remote MCP server port")
+@click.option("--process-command", default=None,
+              help="spawn the MCP server as a subprocess instead")
+@click.option("--process-args", default=None,
+              help="comma-separated args for --process-command")
+def api(host, port, server_host, server_port, process_command, process_args):
+    """Start the HTTP API gateway backed by a remote MCP server.
+
+    Reference: README.md:53-55 — ``python -m illufly_tts api
+    --server-host=tts-server-ip --server-port=31572``."""
+    from aiohttp import web
+
+    from .api.gateway import create_gateway_app
+
+    if not server_host and not process_command:
+        raise click.UsageError(
+            "pass --server-host (SSE) or --process-command (stdio subprocess)"
+        )
+    app = create_gateway_app(
+        server_host=server_host,
+        server_port=server_port,
+        process_command=process_command,
+        process_args=process_args.split(",") if process_args else None,
+    )
+    logger.info("gateway on %s:%d -> MCP %s", host, port,
+                server_host or process_command)
+    web.run_app(app, host=host, port=port)
+
+
+@cli.command()
+@click.option("--host", default="0.0.0.0", help="router bind host")
+@click.option("--port", default=31570, type=int, help="router bind port")
+@click.option("--backends", required=True,
+              help="comma-separated replica base URLs (host:port or http://...)")
+@click.option("--health-interval", default=5.0, type=float,
+              help="replica health-check period (s)")
+def router(host, port, backends, health_interval):
+    """Route traffic across multi-host serve replicas (DCN scale-out).
+
+    Each replica runs ``python -m illufly_tts_tpu serve`` on its own
+    host/chips; the router adds per-user-sticky distribution (preserves
+    scheduler sequence ordering), health-based failover, and merged
+    /tts/stats."""
+    from aiohttp import web
+
+    from .api.router import create_router_app
+
+    backend_list = [b.strip() for b in backends.split(",") if b.strip()]
+    app = create_router_app(backend_list, health_interval=health_interval)
+    logger.info("routing %s:%d -> %s", host, port, backend_list)
+    web.run_app(app, host=host, port=port)
+
+
+@cli.group()
+def client():
+    """Command-line MCP client (reference README.md:59-65)."""
+
+
+def _make_client(process_command, process_args, server_host, server_port):
+    from .client.mcp_client import TTSMcpClient
+
+    if not process_command and not server_host:
+        # default: spawn this package's own MCP server locally
+        process_command = sys.executable
+        process_args = "-m,illufly_tts_tpu.api.mcp_server,--transport,stdio"
+    return TTSMcpClient(
+        process_command=process_command,
+        process_args=process_args.split(",") if process_args else None,
+        host=server_host,
+        port=server_port,
+    )
+
+
+@client.command()
+@click.argument("text")
+@click.option("--output", "-o", default="output.wav", help="output wav path")
+@click.option("--voice-id", default="zf_001")
+@click.option("--speed", default=1.0, type=float)
+@click.option("--process-command", default=None,
+              help="server subprocess executable (stdio mode)")
+@click.option("--process-args", default=None,
+              help="comma-separated subprocess args")
+@click.option("--server-host", default=None, help="SSE server host")
+@click.option("--server-port", default=31572, type=int)
+def speak(text, output, voice_id, speed, process_command, process_args,
+          server_host, server_port):
+    """Synthesize TEXT via an MCP server and save the wav."""
+    import asyncio
+    import base64
+
+    async def run():
+        c = _make_client(process_command, process_args,
+                         server_host, server_port)
+        async with c:
+            result = await c.text_to_speech(text, voice_id, speed)
+        if not isinstance(result, dict) or result.get("status") != "success":
+            err = result.get("error") if isinstance(result, dict) else result
+            raise click.ClickException(f"synthesis failed: {err}")
+        wav = base64.b64decode(result["audio_base64"])
+        with open(output, "wb") as f:
+            f.write(wav)
+        click.echo(f"wrote {output} ({len(wav)} bytes, "
+                   f"{result.get('sample_rate')} Hz)")
+
+    asyncio.run(run())
+
+
+@client.command()
+@click.option("--process-command", default=None)
+@click.option("--process-args", default=None)
+@click.option("--server-host", default=None)
+@click.option("--server-port", default=31572, type=int)
+def voices(process_command, process_args, server_host, server_port):
+    """List voices available on an MCP server."""
+    import asyncio
+
+    async def run():
+        c = _make_client(process_command, process_args,
+                         server_host, server_port)
+        async with c:
+            for v in await c.list_voices():
+                click.echo(f"{v.get('id')}\t{v.get('name', '')}")
+
+    asyncio.run(run())
+
+
 def main():
     if len(sys.argv) == 1:
         sys.argv.append("serve")
