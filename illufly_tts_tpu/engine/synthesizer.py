@@ -67,6 +67,7 @@ class Synthesizer:
         mesh=None,
         token_buckets: Sequence[int] = TOKEN_BUCKETS,
         frame_buckets: Sequence[int] = FRAME_BUCKETS,
+        repo_id: str = "",
     ):
         from ..utils.compile_cache import enable_compilation_cache
 
@@ -74,6 +75,7 @@ class Synthesizer:
         self.config = config or KokoroConfig()
         self.model = KokoroModel(self.config)
         self.voices_dir = voices_dir
+        self.repo_id = repo_id  # enables the offline HF-cache voice search
         # data-parallel serving: params are placed per parallel/mesh.py
         # shardings, batches are sharded over the 'data' axis, and XLA
         # (GSPMD) partitions both compiled stages — the SURVEY §2 mapping
@@ -170,27 +172,53 @@ class Synthesizer:
         gather + readback)."""
         if voice_id in self._voices:
             return self._voices[voice_id]
-        pack = None
-        if self.voices_dir:
-            for ext, loader in ((".npy", np.load), (".npz", None), (".pt", None)):
-                path = os.path.join(self.voices_dir, f"{voice_id}{ext}")
+
+        def try_dir(directory: str):
+            for ext in (".npy", ".npz", ".pt"):
+                path = os.path.join(directory, f"{voice_id}{ext}")
                 if not os.path.exists(path):
                     continue
                 if ext == ".npy":
-                    pack = np.load(path)
-                elif ext == ".npz":
+                    return np.load(path)
+                if ext == ".npz":
                     with np.load(path) as z:
-                        pack = z[list(z.keys())[0]]
-                else:
-                    import torch  # cpu-only, used for reference voice packs
+                        return z[list(z.keys())[0]]
+                import torch  # cpu-only, used for reference voice packs
 
-                    pack = torch.load(
-                        path, map_location="cpu", weights_only=True
-                    ).numpy()
-                break
+                return torch.load(
+                    path, map_location="cpu", weights_only=True
+                ).numpy()
+            return None
+
+        pack = try_dir(self.voices_dir) if self.voices_dir else None
+        searched = [self.voices_dir] if self.voices_dir else []
+        if pack is None and self.repo_id:
+            # reference fallback (pipeline.py:86-106): the HF snapshot
+            # cache's voices/ dir. Searched OFFLINE — same on-disk layout
+            # snapshot_download uses, no network needed.
+            hub = os.path.join(
+                os.environ.get(
+                    "HF_HOME",
+                    os.path.join(os.path.expanduser("~"), ".cache",
+                                 "huggingface"),
+                ),
+                "hub",
+                "models--" + self.repo_id.replace("/", "--"),
+                "snapshots",
+            )
+            if os.path.isdir(hub):
+                for rev in sorted(os.listdir(hub)):
+                    vdir = os.path.join(hub, rev, "voices")
+                    searched.append(vdir)
+                    if os.path.isdir(vdir):
+                        pack = try_dir(vdir)
+                        if pack is not None:
+                            break
+            else:
+                searched.append(hub)
         if pack is None:
             raise ValueError(
-                f"voice not found: {voice_id} (searched {self.voices_dir})"
+                f"voice not found: {voice_id} (searched {searched})"
             )
         pack = np.asarray(pack, np.float32)
         if pack.ndim == 3:  # [L, 1, 256] -> [L, 256]

@@ -19,7 +19,7 @@ from typing import Dict, List
 logger = logging.getLogger(__name__)
 
 _ZH_ENTRY = re.compile(r"^([一-鿿]+)\s+((?:[a-zv]+[1-5]\s*)+)$")
-_EN_ENTRY = re.compile(r"^([A-Za-z][A-Za-z'\-]*)\s+(\S+)$")
+_EN_ENTRY = re.compile(r"^([A-Za-z][A-Za-z'\-]*)\s+(\S.*?)\s*$")
 
 
 def load_zh_dict(path: str) -> Dict[str, List[str]]:
@@ -94,7 +94,17 @@ def load_en_dict(path: str) -> Dict[str, str]:
                 logger.warning("ignoring malformed en dict line: %r", line)
                 continue
             word = match.group(1).lower()
-            LEXICON[word] = match.group(2)
-            added[word] = match.group(2)
+            pron = match.group(2)
+            # CMU-style lines ("HELLO HH AH0 L OW1", the reference's
+            # english_dict.txt format) convert to IPA transparently
+            from .arpa import arpa_to_ipa, is_arpa
+
+            if is_arpa(pron):
+                pron = arpa_to_ipa(pron)
+            elif " " in pron:
+                logger.warning("ignoring malformed en dict line: %r", line)
+                continue
+            LEXICON[word] = pron
+            added[word] = pron
     logger.info("loaded %d en dictionary entries from %s", len(added), path)
     return added

@@ -70,7 +70,8 @@ class TTSPipeline:
         self.en_normalizer = EnTextNormalizer()
 
         self.synthesizer = synthesizer or Synthesizer(
-            voices_dir=voices_dir, mesh=mesh
+            voices_dir=voices_dir, mesh=mesh,
+            repo_id="" if os.path.isfile(repo_id or "") else repo_id,
         )
         if params_path and os.path.exists(params_path):
             self.synthesizer.load_params(params_path)
@@ -231,6 +232,13 @@ class TTSPipeline:
 
     def phonemes_to_ipa(self, phonemes: str) -> str:
         return self.g2p.convert_to_ipa(phonemes)
+
+    def arpa_to_ipa(self, arpa_phonemes: str) -> str:
+        """ARPAbet -> IPA (reference pipeline.py:515-550; here with CMU
+        stress-digit handling, see frontend/g2p/arpa.py)."""
+        from .frontend.g2p.arpa import arpa_to_ipa
+
+        return arpa_to_ipa(arpa_phonemes)
 
     # --- synthesis ---------------------------------------------------------------
 

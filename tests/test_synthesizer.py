@@ -132,6 +132,31 @@ def test_voice_pack_from_torch_pt(tmp_path):
     assert audio.size > 0
 
 
+def test_voice_pack_from_hf_cache(tmp_path, monkeypatch):
+    """Reference fallback (pipeline.py:86-106): voices resolve from the
+    HF snapshot cache layout, searched offline — a reference user's
+    existing ~/.cache/huggingface works without snapshot_download."""
+    import numpy as np
+    from tests.test_model import tiny_config
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    vdir = (
+        tmp_path / "hub" / "models--hexgrad--Kokoro-82M-v1.1-zh"
+        / "snapshots" / "abc123" / "voices"
+    )
+    vdir.mkdir(parents=True)
+    pack = np.random.RandomState(1).randn(510, 32).astype(np.float32) * 0.1
+    np.save(str(vdir / "zf_hub.npy"), pack)
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    s = Synthesizer(
+        config=tiny_config(), repo_id="hexgrad/Kokoro-82M-v1.1-zh",
+        token_buckets=(16,), frame_buckets=(32,),
+    )
+    loaded = s.load_voice("zf_hub")
+    assert loaded.shape == (510, 32)
+    np.testing.assert_allclose(np.asarray(loaded), pack, atol=1e-6)
+
+
 def test_oversize_batch_splits(synth):
     """Batches beyond the largest batch bucket are chunked, not crashed
     (ADVICE r1 #2: 65+ items used to IndexError)."""

@@ -49,6 +49,34 @@ def test_custom_en_dict(tmp_path):
     assert EnglishG2P().word_to_ipa("Kokoro") == "koʊkoʊɹoʊ"
 
 
+def test_custom_en_dict_arpa(tmp_path):
+    """CMU/ARPAbet lines (the reference's english_dict.txt format,
+    resources/dictionaries/english_dict.txt:1-60) convert to IPA with
+    stress digits honored."""
+    path = tmp_path / "en_arpa.txt"
+    path.write_text(
+        "hello HH AH0 L OW1\nworld W ER1 L D\n", encoding="utf-8"
+    )
+    load_en_dict(str(path))
+    from illufly_tts_tpu.frontend.g2p.en_g2p import EnglishG2P
+
+    g2p = EnglishG2P()
+    assert g2p.word_to_ipa("hello") == "həlˈoʊ"
+    assert g2p.word_to_ipa("world") == "wˈɝld"
+
+
+def test_arpa_to_ipa_helper():
+    from illufly_tts_tpu.frontend.g2p.arpa import arpa_to_ipa, is_arpa
+    from illufly_tts_tpu.pipeline import TTSPipeline
+
+    assert is_arpa("HH AH0 L OW1")
+    assert not is_arpa("koʊkoʊɹoʊ")
+    assert arpa_to_ipa("R EH1 K ER0 D") == "ɹˈɛkɚd"
+    assert arpa_to_ipa("ZZZ R") == "ZZZɹ"  # unknown tokens pass through
+    # the reference exposes this on the pipeline (pipeline.py:515-550)
+    assert TTSPipeline.arpa_to_ipa is not None
+
+
 def test_dotenv(tmp_path, monkeypatch):
     path = tmp_path / ".env"
     path.write_text('FOO_TEST_VAR="bar"\n# comment\nBAZ=1\n')
