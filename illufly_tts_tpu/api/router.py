@@ -145,10 +145,18 @@ def create_router_app(
         body = await request.read()
         b.inflight += 1
         try:
-            async with session.request(
-                request.method, url, headers=headers, data=body,
-                allow_redirects=False,
-            ) as upstream:
+            try:
+                upstream_cm = session.request(
+                    request.method, url, headers=headers, data=body,
+                    allow_redirects=False,
+                )
+                upstream = await upstream_cm.__aenter__()
+            except Exception as exc:
+                # could not reach the replica at all: demote it + 502
+                logger.error("proxy to %s failed: %s", b.base_url, exc)
+                b.healthy = False
+                raise web.HTTPBadGateway(reason=f"replica failed: {exc}")
+            try:
                 out_headers = {
                     k: v for k, v in upstream.headers.items()
                     if k.lower() not in HOP_HEADERS
@@ -157,14 +165,27 @@ def create_router_app(
                     status=upstream.status, headers=out_headers
                 )
                 await resp.prepare(request)
-                async for chunk in upstream.content.iter_chunked(64 * 1024):
-                    await resp.write(chunk)
-                await resp.write_eof()
+                try:
+                    async for chunk in upstream.content.iter_chunked(
+                        64 * 1024
+                    ):
+                        await resp.write(chunk)
+                    await resp.write_eof()
+                except aiohttp.ClientError as exc:
+                    # UPSTREAM died mid-stream: status already sent, so
+                    # the body is truncated; log + demote, don't 502
+                    logger.error(
+                        "replica %s failed mid-stream: %s", b.base_url, exc
+                    )
+                    b.healthy = False
+                except (ConnectionResetError, ConnectionError, OSError):
+                    # the CLIENT went away mid-stream — the replica is
+                    # fine; demoting it here would needlessly re-hash its
+                    # sticky users
+                    logger.info("client disconnected mid-stream")
                 return resp
-        except Exception as exc:
-            logger.error("proxy to %s failed: %s", b.base_url, exc)
-            b.healthy = False
-            raise web.HTTPBadGateway(reason=f"replica failed: {exc}")
+            finally:
+                await upstream_cm.__aexit__(None, None, None)
         finally:
             b.inflight -= 1
 

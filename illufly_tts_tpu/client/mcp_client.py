@@ -195,8 +195,13 @@ class TTSMcpClient:
         msg_id = next(self._ids)
         fut: asyncio.Future = asyncio.get_event_loop().create_future()
         self._pending[msg_id] = fut
-        await self._send(p.request(msg_id, method, params))
-        reply = await asyncio.wait_for(fut, self.timeout)
+        try:
+            await self._send(p.request(msg_id, method, params))
+            reply = await asyncio.wait_for(fut, self.timeout)
+        finally:
+            # drop the slot on timeout/cancel too — a late reply must not
+            # land in a dead future, and _pending must not grow unbounded
+            self._pending.pop(msg_id, None)
         if "error" in reply:
             err = reply["error"]
             raise MCPError(f"{err.get('code')}: {err.get('message')}")

@@ -327,10 +327,17 @@ class Synthesizer:
             ids if len(ids) <= t_bucket else ids[: t_bucket - 1] + [0]
             for ids in id_lists
         ]
-        # under a mesh the batch dim must divide the 'data' axis; buckets
-        # are powers of two, so padding up to the axis size suffices
-        min_b = 1 if self.mesh is None else self.mesh.shape["data"]
-        b_bucket = pick(BATCH_BUCKETS, max(n, min_b))
+        # under a mesh the batch dim must divide the 'data' axis — for a
+        # non-power-of-two axis (e.g. --dp 6) the power-of-two buckets
+        # don't, so round the bucket up to the next multiple of the axis
+        # (compile keys include b_bucket, so these shapes are still
+        # static and cached)
+        if self.mesh is None:
+            b_bucket = pick(BATCH_BUCKETS, n)
+        else:
+            n_data = self.mesh.shape["data"]
+            b_bucket = pick(BATCH_BUCKETS, max(n, n_data))
+            b_bucket = -(-b_bucket // n_data) * n_data
 
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         mask = np.zeros((b_bucket, t_bucket), np.float32)

@@ -79,8 +79,11 @@ HETERONYMS = {
     "use": ("juz", "jus"),
     "close": ("kloʊz", "kloʊs"),
     "house": ("haʊz", "haʊs"),
-    "read": ("ɹid", "ɹid"),
 }
+# "read" is tense- not POS-ambiguous: past/participle contexts force ɹɛd
+_READ_PAST_CONTEXT = {"have", "has", "had", "was", "were", "been",
+                      "already", "just", "i've", "you've", "we've",
+                      "they've", "he's", "she's"}
 _DETERMINERS = {"the", "a", "an", "this", "that", "its", "my", "your",
                 "their", "his", "her", "our", "some", "any", "no"}
 
@@ -287,14 +290,17 @@ class EnglishG2P:
 
     def spell_letters(self, letters: str) -> str:
         """NNP/acronym letter spelling with stress re-split (reference
-        english_g2p.py:204-250): every letter carries secondary stress
-        except the last, which carries primary."""
-        joined = "".join(LETTER_NAMES.get(c, "") for c in letters.lower())
-        demoted = joined.replace(PRIMARY_STRESS, SECONDARY_STRESS)
-        head, _, tail = demoted.rpartition(SECONDARY_STRESS)
-        if not head and not tail:
-            return joined
-        return head + PRIMARY_STRESS + tail
+        english_g2p.py:204-250): every letter demotes to secondary stress
+        via the stress algebra, then the last re-promotes to primary."""
+        parts = [
+            LETTER_NAMES.get(c, "") for c in letters.lower()
+        ]
+        parts = [p for p in parts if p]
+        if not parts:
+            return ""
+        demoted = [apply_stress(p, -1) for p in parts]
+        demoted[-1] = apply_stress(demoted[-1], 1)  # ˌ -> ˈ on the last
+        return "".join(demoted)
 
     def word_to_ipa(self, word: str) -> str:
         base = self.lookup(word)
@@ -350,7 +356,11 @@ class EnglishG2P:
                 continue
             if re.match(r"[A-Za-z]", token):
                 lower = token.lower()
-                if lower in HETERONYMS:
+                if lower == "read":
+                    # unstressed like the other monosyllabic entries
+                    prev = words[wi - 1].lower() if wi > 0 else ""
+                    ipa = "ɹɛd" if prev in _READ_PAST_CONTEXT else "ɹid"
+                elif lower in HETERONYMS:
                     # verb reading after "to"/pronoun-subject; noun reading
                     # after a determiner (misaki uses a POS tagger,
                     # reference english_g2p.py:716-759; this covers the

@@ -275,6 +275,10 @@ class MCPServer:
         from aiohttp import web
 
         sessions: Dict[str, asyncio.Queue] = {}
+        # strong refs: asyncio keeps only weak refs to tasks, and the
+        # 202-then-push pattern would otherwise let GC drop an in-flight
+        # tools/call before its reply reaches the queue
+        inflight: set = set()
 
         async def sse(request: web.Request) -> web.StreamResponse:
             session_id = uuid.uuid4().hex
@@ -322,7 +326,9 @@ class MCPServer:
                 if reply is not None:
                     await queue.put(reply)
 
-            asyncio.ensure_future(process())
+            task = asyncio.ensure_future(process())
+            inflight.add(task)
+            task.add_done_callback(inflight.discard)
             return web.Response(status=202, text="Accepted")
 
         app = web.Application()

@@ -245,23 +245,32 @@ class TTSServiceManager:
         selected.sort(key=lambda t: t.sequence_id)
         return selected[: self.batch_size]
 
+    # a completed task's audio is never evicted this soon after completion:
+    # pollers (HTTP/MCP, 50 ms interval) must always find their waveform
+    # even if a burst finishes >limit tasks within one poll gap
+    EVICT_GRACE_S = 60.0
+
     def _evict_history(self) -> None:
         """Bound memory: finished tasks beyond the newest N lose their
-        waveforms; beyond a larger cap the record itself is dropped."""
+        waveforms; beyond a larger cap the record itself is dropped.
+        Both respect EVICT_GRACE_S so an unread result can't vanish
+        between completion and its caller's next status poll."""
+        now = time.time()
         finished = [
             t for t in self.tasks.values()
             if t.status in (
                 TaskStatus.COMPLETED, TaskStatus.FAILED, TaskStatus.CANCELED
             )
         ]
-        if len(finished) <= self.audio_history_limit:
-            return
         finished.sort(key=lambda t: t.completed_at or 0.0)
-        for task in finished[: -self.audio_history_limit]:
-            task.audio_chunks = []
+        audio_drop = len(finished) - self.audio_history_limit
+        for task in finished[: max(audio_drop, 0)]:
+            if now - (task.completed_at or 0.0) >= self.EVICT_GRACE_S:
+                task.audio_chunks = []
         overflow = len(finished) - self.task_history_limit
-        for task in finished[:max(overflow, 0)]:
-            self.tasks.pop(task.task_id, None)
+        for task in finished[: max(overflow, 0)]:
+            if now - (task.completed_at or 0.0) >= self.EVICT_GRACE_S:
+                self.tasks.pop(task.task_id, None)
 
     async def _wait_for_work(self, timeout: float) -> None:
         self._wakeup.clear()

@@ -168,6 +168,9 @@ def test_heteronym_context(g2p):
     assert "ɹɪkˈɔɹd" in g2p.text_to_ipa("to record")
     assert "pɹˈɛzənt" in g2p.text_to_ipa("a present")
     assert "pɹɪzˈɛnt" in g2p.text_to_ipa("to present")
+    # "read" is tense-ambiguous: past/participle contexts force ɹɛd
+    assert "ɹɛd" in g2p.text_to_ipa("I have read the book")
+    assert "ɹid" in g2p.text_to_ipa("please read this")
 
 
 def test_apply_stress_algebra():

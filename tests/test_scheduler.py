@@ -194,6 +194,7 @@ async def test_history_eviction_bounds_memory():
         pipeline=FakePipeline(delay=0.0), max_wait_time=0.01, batch_size=1,
         audio_history_limit=2, task_history_limit=4,
     )
+    manager.EVICT_GRACE_S = 0.0  # no consumption grace in this test
     await manager.start()
     ids = []
     for i in range(6):
@@ -209,6 +210,27 @@ async def test_history_eviction_bounds_memory():
     assert 0 < len(with_audio) <= 2
     # the newest finished task always keeps its audio
     assert manager.tasks[ids[-1]].audio_chunks
+
+
+async def test_eviction_grace_protects_unread_results():
+    """A burst finishing more than audio_history_limit tasks within one
+    poll gap must NOT strip audio a waiting caller hasn't read yet
+    (review r2: eviction raced the HTTP/MCP 50 ms status poll)."""
+    manager = TTSServiceManager(
+        pipeline=FakePipeline(delay=0.0), max_wait_time=0.01, batch_size=4,
+        audio_history_limit=1, task_history_limit=50,
+    )
+    await manager.start()
+    ids = [
+        await manager.submit_task(f"t{i}", "v", user_id=f"u{i}")
+        for i in range(5)
+    ]
+    for tid in ids:
+        await wait_status(manager, tid, "completed")
+    await manager.shutdown()
+    # default grace (60 s) keeps every just-finished waveform readable
+    for tid in ids:
+        assert manager.tasks[tid].audio_chunks, tid
 
 
 async def test_coalescing_window_batches_concurrent_submits():

@@ -116,6 +116,25 @@ def test_sharded_serving_matches_single():
         np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
 
 
+def test_sharded_serving_non_power_of_two_mesh():
+    """--dp with a non-power-of-two chip count (e.g. 6) must serve: the
+    batch bucket rounds up to a multiple of the data axis (review r2:
+    device_put of an 8-row batch on a 6-way axis raised ValueError)."""
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    cfg = tiny_config()
+    mesh = make_mesh(n_data=6, n_model=1)
+    synth = Synthesizer(config=cfg, mesh=mesh, token_buckets=(16,),
+                        frame_buckets=(64,))
+    synth.register_random_voice("v", seed=1)
+    texts = ["ni→xau↓", "tsʰɤ↘ʂɨ↘", "a→", "ma→ma→", "ni→", "xau↓",
+             "tsai↘tɕjɛn↘", "i→əɹ↘"]  # 8 items > 6-way axis
+    audio = synth.synthesize_batch(texts, ["v"] * 8)
+    assert len(audio) == 8
+    for a in audio:
+        assert a.size > 0 and np.all(np.isfinite(a))
+
+
 def test_sharded_serving_pads_small_batches():
     """A single request on an 8-chip mesh pads the batch bucket up to the
     data-axis size instead of failing to shard."""
