@@ -29,17 +29,26 @@ RE_DATE2 = re.compile(
 RE_YEAR_RANGE = re.compile(r"(\d{4})[-~](\d{4})年")
 
 
+def _time_digits(num_string: str) -> str:
+    """Time minutes/seconds keep a leading zero (reference
+    _time_num2str, chronology.py:23-28): "05" -> 零五."""
+    result = verbalize_cardinal(num_string.lstrip("0") or "0")
+    if num_string.startswith("0") and num_string.lstrip("0"):
+        result = "零" + result
+    return result
+
+
 def _time_to_str(
     hour: str, minute: str, second: str | None, allow_ban: bool = True
 ) -> str:
     result = f"{num2str(hour)}点"
     minute_int = int(minute)
-    if minute_int == 30 and not second and allow_ban:
+    if minute_int == 30 and allow_ban:
         result += "半"
     elif minute_int != 0:
-        result += f"{verbalize_cardinal(minute)}分"
+        result += f"{_time_digits(minute)}分"
     if second and int(second) != 0:
-        result += f"{verbalize_cardinal(second)}秒"
+        result += f"{_time_digits(second)}秒"
     return result
 
 
@@ -48,13 +57,19 @@ def replace_time(match: re.Match) -> str:
 
 
 def replace_time_range(match: re.Match) -> str:
-    # ranges read minutes fully (八点至十点三十分, not 十点半) — matches the
-    # reference's range reading
+    # the reference's range reader gates the SECOND half's 半 on the
+    # FIRST half's minute (chronology.py:78, a bug: "6:30-9:45" ->
+    # 六点半至九点半). The second half here reads 半 only when BOTH
+    # minutes are 30 — bit-identical to the reference everywhere except
+    # its buggy first==30 && second not in {0, 30} case, where it emits
+    # a wrong 半 and we read the real minutes (pinned in
+    # tests/test_reference_parity.py).
     first = _time_to_str(
-        match.group(1), match.group(2), match.group(4), allow_ban=False
+        match.group(1), match.group(2), match.group(4), allow_ban=True
     )
     second = _time_to_str(
-        match.group(6), match.group(7), match.group(9), allow_ban=False
+        match.group(6), match.group(7), match.group(9),
+        allow_ban=int(match.group(2)) == 30 and int(match.group(7)) == 30,
     )
     return f"{first}至{second}"
 

@@ -84,6 +84,9 @@ _POST_REPLACEMENTS = {
     "=": "等于",
 }
 _RE_BRACKETS = re.compile(r"[【】〖〗〔〕\[\]「」『』]")
+# thousand-separated numbers: 1-3 leading digits then comma-separated
+# triples, not already inside a longer digit run
+_RE_COMMA_NUM = re.compile(r"(?<!\d)\d{1,3}(?:,\d{3})+(?!\d)")
 
 
 class ZhTextNormalizer:
@@ -132,5 +135,11 @@ class ZhTextNormalizer:
         return sentence
 
     def normalize(self, text: str) -> List[str]:
+        # collapse thousand separators BEFORE sentence splitting — the
+        # splitter breaks on ASCII commas, which is exactly how the
+        # reference ends up dropping digits from "300,000"
+        text = _RE_COMMA_NUM.sub(
+            lambda m: m.group(0).replace(",", ""), text
+        )
         sentences = self._split(text)
         return [self.normalize_sentence(s) for s in sentences]

@@ -16,7 +16,7 @@ UNITS = {1: "", 2: "十", 3: "百", 4: "千", 5: "万", 9: "亿"}
 
 # Common measure words used to detect "number + quantifier" patterns.
 COM_QUANTIFIERS = (
-    "(元|块|角|毛|所|朵|匹|张|座|回|场|尾|条|个|首|阙|阵|网|炮|顶|丘|棵|只|支|袭|辆|挑|担|颗|"
+    "(元|块|角|毛|人|所|朵|匹|张|座|回|场|尾|条|个|首|阙|阵|网|炮|顶|丘|棵|只|支|袭|辆|挑|担|颗|"
     "壳|窠|曲|墙|群|腔|砣|座|客|贯|扎|捆|刀|令|打|手|罗|坡|山|岭|江|溪|钟|队|单|"
     "双|对|出|口|头|脚|板|跳|枝|件|贴|针|线|管|名|位|身|堂|课|本|页|家|户|层|丝|"
     "毫|厘|分|钱|两|斤|担|铢|石|钧|锱|忽|(千|毫|微)克|毫|厘|(公)分|分|寸|尺|丈|"
@@ -26,7 +26,11 @@ COM_QUANTIFIERS = (
     "堆|条|根|支|道|面|片|块|蓬|束|捆|团|组|批|段|股|伙|项|例|列|篇|栋|栏|轮|架|"
     "捧|棒|串|射|枚|竿|锭|筒|杆|趟|盘|把|末|卷|谱|秩|胡|类|种|番|届|轮|遭|遍|番|"
     "次|步|路|级|排|行|套|部|台|处|座|点|摊|门|克|千克|公斤|吨|升|毫升|度|摄氏度|"
-    "千米|公里|英里|海里|亩|顷|平方米|立方米)"
+    "千米|公里|英里|海里|亩|顷|平方米|立方米|"
+    # bare magnitudes LAST so 千米/千克 alternatives win at the same
+    # position (reference num.py:31 trailing (亿|千万|百万|万|千|百) group;
+    # makes "1200万" read 一千二百万, not serial digits)
+    "亿|千万|百万|万|千|百)"
 )
 
 

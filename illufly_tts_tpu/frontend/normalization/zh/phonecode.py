@@ -45,6 +45,12 @@ def replace_phone(match: re.Match) -> str:
 
 
 def replace_400(match: re.Match) -> str:
-    # digit groups separated by pause commas (reference prosody)
-    groups = ("400", match.group(3), match.group(4))
-    return "，".join(verbalize_digit(g, alt_one=True) for g in groups)
+    # pause commas at the written separators only (reference phone2str
+    # splits on '-', phonecode.py:40-43): "400-123-4567" gets pauses,
+    # "4001234567" reads straight through
+    if match.group(2):
+        groups = ("400", match.group(3), match.group(4))
+        return "，".join(verbalize_digit(g, alt_one=True) for g in groups)
+    return verbalize_digit(
+        "400" + match.group(3) + match.group(4), alt_one=True
+    )

@@ -33,6 +33,8 @@ MEASURE_MAP = {
     "m": "米",
     "mm": "毫米",
     "s": "秒",
+    "h": "小时",
+    "mg": "毫克",
 }
 
 
@@ -47,8 +49,13 @@ def replace_temperature(match: re.Match) -> str:
 
 
 def replace_measure(sentence: str) -> str:
+    """Digit- or slash-anchored (unlike the reference's bare
+    str.replace, quantifier.py:62-66, which rewrites unit letters inside
+    ordinary words): "70km/h" -> "70千米/小时" (the /->每 post-replace
+    then yields 千米每小时)."""
     for q_notation, q_name in MEASURE_MAP.items():
         sentence = re.sub(
-            rf"(\d)(?:{re.escape(q_notation)})", rf"\g<1>{q_name}", sentence
+            rf"(\d|/)(?:{re.escape(q_notation)})",
+            rf"\g<1>{q_name}", sentence
         )
     return sentence

@@ -92,3 +92,103 @@ def test_year_range_reference_bug_fixed(ref_zh, mine_zh):
     assert "年年" in ref          # the reference's doubled-年 bug
     assert "年年" not in mine     # we keep the correct single 年
     assert "一六四四年至一九一一年" in mine
+
+
+def _battery():
+    """Generated corpus exercising every NSW rule (numbers, fractions,
+    percents, dates, times, temperatures, measures, phones, ranges,
+    quantifiers, serials, currency) — 150+ cases, deterministic."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for n in ["0", "5", "10", "42", "105", "1000", "10001", "123456",
+              "9999999", "1234567890", "1.5", "0.07", "3.14159", "-8",
+              "-123.45", "100000000", "10800"]:
+        cases += [f"共{n}个。", f"数值为{n}。"]
+    for f in ["1/2", "3/4", "22/7", "-1/3"]:
+        cases.append(f"占{f}。")
+    for pc in ["5%", "85.5%", "100%", "-3%", "0.5%"]:
+        cases.append(f"增长{pc}。")
+    for d in ["2023年5月10日", "1999年1月1日", "2008年8月8号",
+              "2023-05-10", "1980-12-31", "2024/01/05"]:
+        cases.append(f"日期：{d}。")
+    for t in ["8:00", "10:30", "23:59", "08:05:30", "12:00:00",
+              "10:00-12:00"]:
+        cases.append(f"时间是{t}。")
+    for t in ["零下5度", "-5°C", "气温3°C", "摄氏30度", "零下12.5℃"]:
+        cases.append(f"今天{t}。")
+    for m in ["9.5km", "3cm", "70km/h", "5m²", "10cm²", "25kg",
+              "500ml", "80db"]:
+        cases.append(f"共{m}。")
+    for p in ["13812345678", "+8613912345678", "010-62345678",
+              "400-123-4567", "4001234567"]:
+        cases.append(f"电话：{p}。")
+    for r in ["3-5倍", "10-20个", "5~8天"]:
+        cases.append(f"大约{r}。")
+    for q in ["一个", "3个人", "7天", "15条"]:
+        cases.append(f"有{q}。")
+    for s in ["编号12345678", "卡号6222021234567890123", "QQ号123456"]:
+        cases.append(f"{s}。")
+    cases += ["价格是1234.56元。", "售价¥799。", "他赚了50万元。",
+              "占比2/3，共42人。", "1234.56元，75%，13812345678。",
+              "第10名。", "2个苹果和3个橙子。",
+              "股价涨了5.68%，成交量1200万股。", "距离2.5公里。",
+              "他在2020年3月买了12.5kg苹果。", "房间温度-3℃到5℃之间。"]
+    for _ in range(40):
+        n = rng.randint(0, 10 ** rng.randint(1, 9))
+        cases.append(f"随机数{n}测试。")
+    for _ in range(20):
+        a, b = sorted(rng.sample(range(1, 200), 2))
+        cases.append(f"从{a}到{b}之间。")
+    return cases
+
+
+def test_generated_battery_identical(ref_zh, mine_zh):
+    """150+ generated cases across the full rule inventory are
+    bit-identical to the actual reference implementation."""
+    diffs = []
+    for case in _battery():
+        ref = "".join(ref_zh.normalize(case))
+        mine = "".join(mine_zh.normalize(case))
+        if ref != mine:
+            diffs.append((case, ref, mine))
+    assert not diffs, "\n".join(
+        f"{c}\n  ref : {r}\n  mine: {m}" for c, r, m in diffs
+    )
+
+
+def test_time_range_second_half_bug_fixed(ref_zh, mine_zh):
+    """Reference chronology.py:78 gates the second half's 半 on the
+    FIRST minute: '6:30-9:45' -> 六点半至九点半. We read real minutes."""
+    case = "时间是6:30-9:45。"
+    ref = "".join(ref_zh.normalize(case))
+    mine = "".join(mine_zh.normalize(case))
+    assert "九点半" in ref                 # the reference's copied-半 bug
+    assert "六点半至九点四十五分" in mine
+
+
+def test_landline_not_swallowed_by_year_range(ref_zh, mine_zh):
+    """The reference's RE_YEAR_RANGE has no trailing 年 anchor, so a
+    landline or numeric range becomes a 'year range'."""
+    case = "电话：0571-87654321。"
+    ref = "".join(ref_zh.normalize(case))
+    mine = "".join(mine_zh.normalize(case))
+    assert "年至" in ref                   # reference misreads as years
+    assert "零五七幺，八七六五四三二幺" in mine
+
+    case = "大约1000-2000元。"
+    ref = "".join(ref_zh.normalize(case))
+    mine = "".join(mine_zh.normalize(case))
+    assert "年至" in ref
+    assert "一千到二千元" in mine
+
+
+def test_comma_numbers_not_dropped(ref_zh, mine_zh):
+    """'300,000' splits at the ASCII comma in the reference and loses
+    digits (三零零,零); we collapse thousand separators pre-split."""
+    case = "大概300,000人。"
+    ref = "".join(ref_zh.normalize(case))
+    mine = "".join(mine_zh.normalize(case))
+    assert "三零零" in ref and "三十万" not in ref
+    assert "三十万人" in mine
