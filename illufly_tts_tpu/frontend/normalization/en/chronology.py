@@ -34,23 +34,40 @@ RE_DATE_ISO = re.compile(r"\b(\d{4})[-/](0?[1-9]|1[0-2])[-/](0?[1-9]|[12]\d|3[01
 RE_DATE_US = re.compile(
     r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{4})\b"
 )
-RE_YEAR = re.compile(r"\b([12]\d{3})\b")
-RE_YEAR_RANGE = re.compile(r"\b([12]\d{3})\s*[-~]\s*([12]\d{3})\b")
+# a bare 4-digit number is a YEAR only in year-ish contexts ("in 1985",
+# "since 2008"); elsewhere it's a cardinal ("1000 items" is one thousand,
+# not "ten hundred"). The reference reads even "born in 1985" as a
+# cardinal (chronology parity sweep, round 2) — context-gating beats both.
+_YEARISH = r"(?:1\d{3}|2[01]\d{2})"
+RE_YEAR = re.compile(
+    rf"\b(in|since|until|till|by|to|circa|around|before|after|during|from|"
+    rf"(?:year|summer|winter|spring|fall|autumn|class)\s+of)"
+    rf"(\s+)({_YEARISH})(?!\s*[-~]\s*\d)(?!\.\d)(?!\d)",
+    re.IGNORECASE,
+)
+RE_YEAR_RANGE = re.compile(
+    rf"\b({_YEARISH})\s*[-~]\s*({_YEARISH})\b"
+)
 # date ranges (reference en/chronology.py:289-362 reads both numeric forms
 # as "from <date> to <date>"; the named-month form covers prose ranges
 # like "June 1 - July 4, 2023")
 RE_DATE_RANGE_US = re.compile(
-    r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})"
+    r"\b(?:(from)\s+)?"
+    r"(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})"
     r"\s*[-~–]\s*"
-    r"(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})\b"
+    r"(0?[1-9]|1[0-2])/(0?[1-9]|[12]\d|3[01])/(\d{2,4})\b",
+    re.IGNORECASE,
 )
 RE_DATE_RANGE_ISO = re.compile(
-    r"\b(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])"
+    r"\b(?:(from)\s+)?"
+    r"(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])"
     r"\s*[-~–]\s*"
-    r"(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])\b"
+    r"(\d{4})[-/.](0?[1-9]|1[0-2])[-/.](0?[1-9]|[12]\d|3[01])\b",
+    re.IGNORECASE,
 )
 RE_DATE_RANGE_NAMED = re.compile(
-    rf"\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
+    rf"\b(?:(from)\s+)?"
+    rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
     rf"\s*[-~–]\s*"
     rf"({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?"
     rf"(?:\s*,\s*(\d{{4}}))?",
@@ -69,6 +86,10 @@ def verbalize_year(year: int) -> str:
         return verbalize_number(year)
     century, rest = divmod(year, 100)
     if rest == 0:
+        if century % 10 == 0:
+            # 1000/2000 read as cardinals ("two thousand", never
+            # "twenty hundred")
+            return verbalize_number(year)
         return f"{verbalize_number(century)} hundred"
     if 2000 <= year <= 2009:
         return "two thousand " + verbalize_number(rest)
@@ -139,25 +160,30 @@ def replace_date_us(match: re.Match) -> str:
     return f"{month} {day} {verbalize_year(int(match.group(3)))}"
 
 
+def _from_prefix(existing) -> str:
+    # reuse an existing written "from"/"From" instead of doubling it
+    return f"{existing} " if existing else "from "
+
+
 def replace_date_range_us(match: re.Match) -> str:
-    m1, d1, y1, m2, d2, y2 = match.groups()
+    frm, m1, d1, y1, m2, d2, y2 = match.groups()
     start = f"{MONTHS[int(m1) - 1]} {verbalize_ordinal(int(d1))} {_year_any(y1)}"
     end = f"{MONTHS[int(m2) - 1]} {verbalize_ordinal(int(d2))} {_year_any(y2)}"
-    return f"from {start} to {end}"
+    return f"{_from_prefix(frm)}{start} to {end}"
 
 
 def replace_date_range_iso(match: re.Match) -> str:
-    y1, m1, d1, y2, m2, d2 = match.groups()
+    frm, y1, m1, d1, y2, m2, d2 = match.groups()
     start = f"{MONTHS[int(m1) - 1]} {verbalize_ordinal(int(d1))} {_year_any(y1)}"
     end = f"{MONTHS[int(m2) - 1]} {verbalize_ordinal(int(d2))} {_year_any(y2)}"
-    return f"from {start} to {end}"
+    return f"{_from_prefix(frm)}{start} to {end}"
 
 
 def replace_date_range_named(match: re.Match) -> str:
-    m1, d1, m2, d2, year = match.groups()
+    frm, m1, d1, m2, d2, year = match.groups()
     start = f"{m1.capitalize()} {verbalize_ordinal(int(d1))}"
     end = f"{m2.capitalize()} {verbalize_ordinal(int(d2))}"
-    out = f"from {start} to {end}"
+    out = f"{_from_prefix(frm)}{start} to {end}"
     if year:
         out += f" {verbalize_year(int(year))}"
     return out
@@ -172,14 +198,19 @@ def replace_day_range_named(match: re.Match) -> str:
 
 
 def replace_year(match: re.Match) -> str:
-    return verbalize_year(int(match.group(1)))
+    return (
+        match.group(1) + match.group(2)
+        + verbalize_year(int(match.group(3)))
+    )
 
 
 def replace_year_range(match: re.Match) -> str:
-    return (
-        f"{verbalize_year(int(match.group(1)))} to "
-        f"{verbalize_year(int(match.group(2)))}"
-    )
+    a, b = int(match.group(1)), int(match.group(2))
+    # year-range heuristic: historical spans ascend and rarely exceed a
+    # few centuries; "1000-2000 units" stays a numeric range
+    if not (a < b <= a + 500):
+        return match.group(0)
+    return f"{verbalize_year(a)} to {verbalize_year(b)}"
 
 
 __all__ = [

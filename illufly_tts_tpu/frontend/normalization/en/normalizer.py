@@ -38,6 +38,7 @@ from .chronology import (
 )
 from .currency import RE_CURRENCY, replace_currency
 from .num import (
+    RE_DECIMAL,
     RE_FRACTION,
     RE_INTEGER,
     RE_NUMBER,
@@ -111,6 +112,9 @@ class EnTextNormalizer:
         sentence = RE_FRACTION.sub(replace_fraction, sentence)
         sentence = RE_YEAR.sub(replace_year, sentence)
         sentence = RE_RANGE.sub(replace_range, sentence)
+        # signed decimals BEFORE bare negative integers — otherwise
+        # "-12.5" splits into "minus twelve" + ".5"
+        sentence = RE_DECIMAL.sub(replace_number, sentence)
         sentence = RE_INTEGER.sub(replace_negative, sentence)
         sentence = RE_NUMBER.sub(replace_number, sentence)
         return sentence

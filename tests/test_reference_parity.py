@@ -7,9 +7,19 @@ only needs a pypinyin flag, stubbed here), so we can import them from
 gate available in this environment (the model side can't run — the
 `kokoro`/`pypinyin` deps aren't installed).
 
-Known intentional divergences (each asserted explicitly):
-- year ranges: the reference emits a doubled 年 ("一九一一年年统治") — a bug
-  in its replace_year_range; we produce the correct single 年.
+Known intentional divergences (each asserted explicitly below):
+zh — all four are reference bugs we fix:
+- year ranges: doubled 年 ("一九一一年年统治", replace_year_range);
+- time ranges: second half's 半 gated on the FIRST minute
+  ("6:30-9:45" -> 九点半, chronology.py:78);
+- unanchored year-range regex swallowing landlines and numeric ranges
+  ("0571-87654321" -> 零五七一年至...);
+- thousand-separated numbers losing digits at the ASCII-comma sentence
+  split ("300,000" -> 三零零,零).
+en — the reference cascade garbles most non-trivial inputs when actually
+executed (decimals "one.five", currency "$five", ordinals "twond",
+self-destroying URL placeholders, ':00' as "zero", range dash as
+"minus"); the en section pins those against our correct readings.
 """
 import importlib
 import importlib.util
@@ -192,3 +202,105 @@ def test_comma_numbers_not_dropped(ref_zh, mine_zh):
     mine = "".join(mine_zh.normalize(case))
     assert "三零零" in ref and "三十万" not in ref
     assert "三十万人" in mine
+
+
+# ---------------------------------------------------------------------------
+# English normalizer: the reference's en cascade is importable too (pure
+# stdlib). Executed side by side it GARBLES most non-trivial inputs —
+# these tests pin the divergences as documented reference bugs, asserting
+# our correct English instead of bit-parity.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_en(ref_zh):  # ref_zh ensures the package + pypinyin stub are loaded
+    tn = importlib.import_module("refnorm_zh").__name__  # noqa: F841
+    spec = importlib.util.spec_from_file_location(
+        "refnorm_all",
+        REF_BASE + "/__init__.py",
+        submodule_search_locations=[REF_BASE],
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["refnorm_all"] = mod
+    spec.loader.exec_module(mod)
+    en = importlib.import_module("refnorm_all.en.text_normalization")
+    return en.EnTextNormalizer()
+
+
+@pytest.fixture(scope="module")
+def mine_en():
+    from illufly_tts_tpu.frontend.normalization.en import EnTextNormalizer
+
+    return EnTextNormalizer()
+
+
+def _en(norm, text):
+    out = norm.normalize(text)
+    return " ".join(out) if isinstance(out, list) else out
+
+
+def test_en_decimal_reference_bug(ref_en, mine_en):
+    """Reference reads decimals digit-group-wise around a literal dot:
+    '1.5' -> 'one.five' (en/num.py decimal path)."""
+    assert "one.five" in _en(ref_en, "There are 1.5 items.")
+    assert "one point five" in _en(mine_en, "There are 1.5 items.")
+
+
+def test_en_currency_reference_bug(ref_en, mine_en):
+    """Reference leaves the $ sign and verbalizes only digits:
+    '$5.99' -> '$five.ninety nine' (en/currency.py)."""
+    assert "$five" in _en(ref_en, "It costs $5.99.")
+    assert "five dollars and ninety nine cents" in _en(
+        mine_en, "It costs $5.99."
+    )
+
+
+def test_en_ordinal_reference_bug(ref_en, mine_en):
+    """Reference builds ordinals by appending the suffix to the cardinal:
+    'January 2nd' -> 'January twond' (en/chronology verbalize_ordinal)."""
+    assert "twond" in _en(ref_en, "The date is January 2nd.")
+    assert "January second" in _en(mine_en, "The date is January 2nd.")
+
+
+def test_en_url_protection_reference_bug(ref_en, mine_en):
+    """Reference's URL placeholders contain digits and '<>' which its own
+    cascade then verbalizes, so the protected URL never restores:
+    'less thanPROTECTEDURLzerogreater than'. Ours uses letters-only
+    placeholders and restores cleanly."""
+    url = "Visit https://example.com/page for info."
+    assert "PROTECTED" in _en(ref_en, url)
+    assert "https://example.com/page" in _en(mine_en, url)
+
+
+def test_en_oclock_reference_bug(ref_en, mine_en):
+    """Reference reads ':00' as 'zero': '8:00' -> 'eight zero'."""
+    assert "eight zero" in _en(ref_en, "It starts at 8:00.")
+    assert "eight o'clock" in _en(mine_en, "It starts at 8:00.")
+
+
+def test_en_date_range_not_minus(ref_en, mine_en):
+    """Reference reads the range dash as 'minus' in prose date ranges
+    ('June one minus July four'); and doubles 'from' in year ranges
+    ('From from twenty nineteen...')."""
+    case = "From June 1 - July 4, 2023."
+    assert "minus" in _en(ref_en, case)
+    mine = _en(mine_en, case)
+    assert "From June first to July fourth" in mine
+    case2 = "From 2019-2023."
+    assert "From from" in _en(ref_en, case2)
+    mine2 = _en(mine_en, case2)
+    assert "From twenty nineteen to twenty twenty three" in mine2
+    assert "from from" not in mine2.lower()
+
+
+def test_en_bare_number_not_year(mine_en):
+    """Context gating: bare 4-digit counts stay cardinals, year-ish
+    contexts read as years, numeric ranges stay numeric."""
+    assert "one thousand items" in _en(mine_en, "There are 1000 items.")
+    assert "nineteen eighty five" in _en(mine_en, "He was born in 1985.")
+    assert "one thousand to two thousand units" in _en(
+        mine_en, "A range of 1000-2000 units."
+    )
+    assert "thirteen sixty eight to sixteen forty four" in _en(
+        mine_en, "The dynasty ruled from 1368-1644."
+    )
