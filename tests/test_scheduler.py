@@ -262,3 +262,81 @@ async def test_full_batch_dispatches_without_waiting():
     await wait_status(manager, t1, "completed", timeout=2.0)
     await wait_status(manager, t2, "completed", timeout=2.0)
     await manager.shutdown()
+
+
+async def test_randomized_stress_ordering_and_liveness():
+    """Seeded burst workload: 8 users x mixed submits with random
+    sequence ids, interleaved cancel_user_pending_tasks. Invariants:
+    every submitted task reaches a terminal state, each user's COMPLETED
+    texts appear in sequence order, and nothing is lost or duplicated."""
+    import random
+
+    rng = random.Random(99)
+    pipeline = FakePipeline(delay=0.005)
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=0.02, batch_size=4,
+    )
+    await manager.start()
+    submitted = {}  # task_id -> (user, seq, text)
+    canceled_users = []
+    try:
+        seq_counter = 0.0
+        for wave in range(6):
+            for _ in range(rng.randint(3, 8)):
+                user = f"u{rng.randrange(8)}"
+                seq_counter += 1.0
+                text = f"{user}-t{seq_counter:.0f}"
+                tid = await manager.submit_task(
+                    text, "v", user_id=user, sequence_id=seq_counter
+                )
+                submitted[tid] = (user, seq_counter, text)
+            if rng.random() < 0.4:
+                victim = f"u{rng.randrange(8)}"
+                canceled_users.append(victim)
+                await manager.cancel_user_pending_tasks(victim)
+            await asyncio.sleep(rng.random() * 0.03)
+
+        # wait for every task to terminate
+        deadline = asyncio.get_event_loop().time() + 15.0
+        while asyncio.get_event_loop().time() < deadline:
+            states = [manager.tasks[t].status for t in submitted]
+            if all(
+                s in (TaskStatus.COMPLETED, TaskStatus.FAILED,
+                      TaskStatus.CANCELED)
+                for s in states
+            ):
+                break
+            await asyncio.sleep(0.02)
+        else:
+            raise TimeoutError("tasks did not all terminate")
+    finally:
+        await manager.shutdown()
+
+    # nothing lost, nothing failed
+    assert len(manager.tasks) >= len(submitted)
+    statuses = {t: manager.tasks[t].status for t in submitted}
+    assert all(
+        s in (TaskStatus.COMPLETED, TaskStatus.CANCELED)
+        for s in statuses.values()
+    ), statuses
+    # canceled tasks only belong to canceled users
+    for tid, s in statuses.items():
+        if s is TaskStatus.CANCELED:
+            assert submitted[tid][0] in canceled_users
+    # per-user sequence order of completions (completion time order must
+    # respect sequence ids for each user)
+    per_user = {}
+    for tid, (user, seq, _) in submitted.items():
+        task = manager.tasks[tid]
+        if task.status is TaskStatus.COMPLETED:
+            per_user.setdefault(user, []).append(
+                (task.completed_at, seq)
+            )
+    for user, items in per_user.items():
+        items.sort()  # by completion time
+        seqs = [seq for _, seq in items]
+        assert seqs == sorted(seqs), f"{user} completed out of order: {seqs}"
+    # every completed task has audio
+    for tid, s in statuses.items():
+        if s is TaskStatus.COMPLETED:
+            assert manager.tasks[tid].audio_chunks
