@@ -227,6 +227,73 @@ def api(host, port, server_host, server_port, process_command, process_args):
 
 
 @cli.command()
+@click.option("--steps", default=100, type=int, help="optimizer steps")
+@click.option("--batch-size", default=8, type=int)
+@click.option("--tokens", default=64, type=int, help="token bucket")
+@click.option("--frames", default=128, type=int, help="frame budget")
+@click.option("--lr", default=1e-4, type=float)
+@click.option("--checkpoint-dir", default=None,
+              help="orbax checkpoint directory")
+@click.option("--resume", is_flag=True,
+              help="resume from the latest checkpoint in --checkpoint-dir")
+@click.option("--checkpoint-every", default=100, type=int)
+@click.option("--dp", default=0, type=int,
+              help="data-parallel over N chips (0 = single device)")
+@click.option("--device", default=None, help="cpu forces the CPU platform")
+@click.option("--tiny", is_flag=True,
+              help="tiny model config (smoke runs / CI)")
+@click.option("--seed", default=0, type=int)
+def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
+          checkpoint_every, dp, device, tiny, seed):
+    """Train the model (teacher-distillation on synthetic data by
+    default; the reference ships no training code — SURVEY §0)."""
+    _apply_device(device)
+    import jax.numpy as jnp
+
+    from .model.config import AlbertConfig, IstftNetConfig, KokoroConfig
+    from .model.kokoro import KokoroModel
+    from .training.loop import train as run_train
+
+    if tiny:
+        cfg = KokoroConfig(
+            n_token=64, hidden_dim=64, style_dim=32, max_dur=10, n_layer=2,
+            albert=AlbertConfig(
+                vocab_size=64, embedding_size=32, hidden_size=128,
+                num_heads=4, intermediate_size=256, num_layers=2,
+                max_position=128,
+            ),
+            istftnet=IstftNetConfig(
+                upsample_rates=(10, 6), upsample_kernel_sizes=(20, 12),
+                upsample_initial_channel=128,
+                resblock_kernel_sizes=(3,),
+                resblock_dilation_sizes=((1, 3),),
+            ),
+        )
+    else:
+        cfg = KokoroConfig()
+    model = KokoroModel(cfg)
+    import jax as _jax
+
+    ids = jnp.zeros((1, tokens), jnp.int32).at[:, 1:9].set(5)
+    mask = jnp.zeros((1, tokens), jnp.float32).at[:, :10].set(1.0)
+    ref_s = jnp.zeros((1, 2 * cfg.style_dim), jnp.float32)
+    params = model.init(_jax.random.PRNGKey(seed), ids, mask, ref_s,
+                        num_frames=frames)
+    mesh = None
+    if dp and dp > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=dp)
+    _, _, metrics = run_train(
+        model, params, steps=steps, batch_size=batch_size, tokens=tokens,
+        frames=frames, learning_rate=lr, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, resume=resume,
+        checkpoint_every=checkpoint_every, seed=seed,
+    )
+    click.echo(f"done: {metrics}")
+
+
+@cli.command()
 @click.option("--host", default="0.0.0.0", help="router bind host")
 @click.option("--port", default=31570, type=int, help="router bind port")
 @click.option("--backends", required=True,

@@ -76,10 +76,18 @@ def stft_magphase(x: jnp.ndarray, n_fft: int, hop: int):
     hi = jax.lax.Precision.HIGHEST  # keep f32 on the TPU MXU
     re = jnp.matmul(frames, fwd_cos.T.astype(x.dtype), precision=hi)
     im = jnp.matmul(frames, fwd_sin.T.astype(x.dtype), precision=hi)
-    mag = jnp.sqrt(re * re + im * im + 1e-9)
+    power = re * re + im * im
+    mag = jnp.sqrt(power + 1e-9)
     # canonicalize -0.0 -> +0.0 so atan2(0, re<0) lands on +pi everywhere
     im = jnp.where(im == 0.0, 0.0, im)
-    phase = jnp.arctan2(im, re)
+    # dead bins (unvoiced harmonic source): atan2's gradient at (0, 0)
+    # is 0/0 = NaN and poisons the whole backward pass during training;
+    # substitute (re, im) = (1, 0) there — same forward (atan2(0,1)=0),
+    # zero gradient
+    dead = power < 1e-12
+    re_safe = jnp.where(dead, 1.0, re)
+    im_safe = jnp.where(dead, 0.0, im)
+    phase = jnp.arctan2(im_safe, re_safe)
     return mag, phase
 
 

@@ -1,0 +1,166 @@
+# -*- coding: utf-8 -*-
+"""Training loop: synthetic-teacher data, checkpointing, optional mesh.
+
+The reference ships no training code (SURVEY §0); this completes the
+subsystem around training/step.py: a driver that distills against a
+frozen teacher (the initial parameters' own teacher-forced output), so
+the loss is verifiably minimizable without external data — the loop,
+sharding, and checkpoint/resume machinery are what's being exercised.
+Real data plugs in by yielding ``TrainBatch`` from any source.
+"""
+from __future__ import annotations
+
+import logging
+import time
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..model.kokoro import KokoroModel
+from .checkpoint import (
+    latest_checkpoint,
+    restore_train_state,
+    save_train_state,
+)
+from .step import TrainBatch, make_train_step
+
+logger = logging.getLogger(__name__)
+
+
+def synthetic_batches(
+    model: KokoroModel,
+    teacher_params,
+    batch_size: int,
+    tokens: int,
+    frames: int,
+    seed: int = 0,
+) -> Iterator[TrainBatch]:
+    """Endless batches whose audio targets come from a frozen teacher.
+
+    Teacher-forced durations are fixed (3 frames/token) so the duration
+    head has a stationary target too."""
+    cfg = model.config
+    spf = cfg.samples_per_frame
+
+    @jax.jit
+    def teacher_audio(ids, mask, ref_s, target_dur):
+        _, d = model.apply(
+            teacher_params, ids, mask, ref_s,
+            jnp.ones((ids.shape[0],), jnp.float32),
+            method=KokoroModel.encode_durations,
+        )
+        teacher = (target_dur * mask).astype(jnp.int32)
+        audio, _ = model.apply(
+            teacher_params, ids, mask, d, teacher, ref_s, frames,
+            method=KokoroModel.decode_frames,
+        )
+        return audio
+
+    rng = np.random.RandomState(seed)
+    n_vocab = cfg.albert.vocab_size
+    while True:
+        lengths = rng.randint(tokens // 2, tokens - 1, batch_size)
+        ids = np.zeros((batch_size, tokens), np.int32)
+        mask = np.zeros((batch_size, tokens), np.float32)
+        for i, ln in enumerate(lengths):
+            ids[i, 1: ln + 1] = rng.randint(1, n_vocab, ln)
+            mask[i, : ln + 2] = 1.0  # BOS/EOS zeros stay in-mask
+        ref_s = (rng.randn(batch_size, 2 * cfg.style_dim) * 0.1).astype(
+            np.float32
+        )
+        target_dur = (mask * 3.0).astype(np.float32)
+        ids_j = jnp.asarray(ids)
+        mask_j = jnp.asarray(mask)
+        ref_j = jnp.asarray(ref_s)
+        dur_j = jnp.asarray(target_dur)
+        audio = teacher_audio(ids_j, mask_j, ref_j, dur_j)
+        assert audio.shape[1] == frames * spf
+        yield TrainBatch(
+            input_ids=ids_j, mask=mask_j, ref_s=ref_j,
+            target_dur=dur_j, target_audio=audio,
+        )
+
+
+def train(
+    model: KokoroModel,
+    params,
+    steps: int,
+    batch_size: int = 8,
+    tokens: int = 64,
+    frames: int = 128,
+    learning_rate: float = 1e-4,
+    max_grad_norm: float = 1.0,
+    mesh=None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    checkpoint_every: int = 100,
+    log_every: int = 10,
+    seed: int = 0,
+    batches: Optional[Iterator[TrainBatch]] = None,
+):
+    """Run ``steps`` optimizer steps; returns (params, opt_state, metrics).
+
+    With ``mesh``, the batch shards over 'data' and params per
+    parallel/mesh.py (the same layout dryrun_multichip validates)."""
+    # the random-init generator's exp() magnitudes reach O(1e4); without
+    # clipping the first waveform-gradient step NaNs the decoder
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(learning_rate),
+    )
+    opt_state = optimizer.init(params)
+    start_step = 0
+    if resume and checkpoint_dir:
+        path = latest_checkpoint(checkpoint_dir)
+        if path:
+            params, opt_state, start_step = restore_train_state(
+                path, params, opt_state
+            )
+            logger.info("resumed from %s (step %d)", path, start_step)
+
+    if batches is None:
+        batches = synthetic_batches(
+            model, params, batch_size, tokens, frames, seed=seed
+        )
+    step_fn = jax.jit(make_train_step(model, optimizer, num_frames=frames))
+
+    data_sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, shard_params
+
+        params = shard_params(params, mesh)
+        data_sharding = batch_sharding(mesh)
+
+    metrics = {}
+    last_saved = -1
+    t0 = time.perf_counter()
+    for step in range(start_step, start_step + steps):
+        batch = next(batches)
+        if data_sharding is not None:
+            batch = TrainBatch(*(
+                jax.device_put(x, data_sharding) for x in batch
+            ))
+        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        if log_every and (step + 1) % log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                "step %d: loss=%.4f dur=%.4f audio=%.4f (%.2f s/step)",
+                step + 1, m["loss"], m["dur_loss"], m["audio_loss"],
+                (time.perf_counter() - t0) / log_every,
+            )
+            t0 = time.perf_counter()
+        if (
+            checkpoint_dir
+            and checkpoint_every
+            and (step + 1) % checkpoint_every == 0
+        ):
+            save_train_state(checkpoint_dir, step + 1, params, opt_state)
+            last_saved = step + 1
+    if checkpoint_dir and last_saved != start_step + steps:
+        save_train_state(
+            checkpoint_dir, start_step + steps, params, opt_state
+        )
+    return params, opt_state, {k: float(v) for k, v in metrics.items()}
