@@ -171,9 +171,15 @@ def create_router_app(
                     ):
                         await resp.write(chunk)
                     await resp.write_eof()
-                except aiohttp.ClientError as exc:
-                    # UPSTREAM died mid-stream: status already sent, so
-                    # the body is truncated; log + demote, don't 502
+                except (
+                    aiohttp.ClientError, asyncio.TimeoutError, TimeoutError
+                ) as exc:
+                    # UPSTREAM died or hung mid-stream: status already
+                    # sent, so the body is truncated; log + demote, don't
+                    # 502. (TimeoutError is an OSError subclass on
+                    # py3.11+ — it must be classified here, before the
+                    # client-disconnect branch, or a wedged replica never
+                    # demotes.)
                     logger.error(
                         "replica %s failed mid-stream: %s", b.base_url, exc
                     )

@@ -329,15 +329,20 @@ class Synthesizer:
         ]
         # under a mesh the batch dim must divide the 'data' axis — for a
         # non-power-of-two axis (e.g. --dp 6) the power-of-two buckets
-        # don't, so round the bucket up to the next multiple of the axis
-        # (compile keys include b_bucket, so these shapes are still
-        # static and cached)
+        # don't. Use the bucket inventory rounded per-bucket to the axis
+        # (NOT bucket-then-round, which would inflate n=6 on a 6-way
+        # axis to 12): {1,2,4,8,...} with n_data=6 -> {6,12,18,36,66};
+        # compile keys include b_bucket, so shapes stay static + cached.
         if self.mesh is None:
             b_bucket = pick(BATCH_BUCKETS, n)
         else:
             n_data = self.mesh.shape["data"]
-            b_bucket = pick(BATCH_BUCKETS, max(n, n_data))
-            b_bucket = -(-b_bucket // n_data) * n_data
+            candidates = sorted({
+                -(-b // n_data) * n_data for b in BATCH_BUCKETS
+            })
+            b_bucket = next(
+                (c for c in candidates if c >= n), candidates[-1]
+            )
 
         ids = np.zeros((b_bucket, t_bucket), np.int32)
         mask = np.zeros((b_bucket, t_bucket), np.float32)

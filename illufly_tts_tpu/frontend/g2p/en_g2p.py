@@ -357,9 +357,18 @@ class EnglishG2P:
             if re.match(r"[A-Za-z]", token):
                 lower = token.lower()
                 if lower == "read":
-                    # unstressed like the other monosyllabic entries
+                    # unstressed like the other monosyllabic entries.
+                    # scan two words back: subject-aux inversion puts a
+                    # pronoun between the auxiliary and the verb
+                    # ("Have you read it?")
                     prev = words[wi - 1].lower() if wi > 0 else ""
-                    ipa = "ɹɛd" if prev in _READ_PAST_CONTEXT else "ɹid"
+                    prev2 = words[wi - 2].lower() if wi > 1 else ""
+                    past = prev in _READ_PAST_CONTEXT or (
+                        prev in ("you", "she", "he", "they", "we", "i",
+                                 "it", "anyone", "anybody")
+                        and prev2 in _READ_PAST_CONTEXT
+                    )
+                    ipa = "ɹɛd" if past else "ɹid"
                 elif lower in HETERONYMS:
                     # verb reading after "to"/pronoun-subject; noun reading
                     # after a determiner (misaki uses a POS tagger,

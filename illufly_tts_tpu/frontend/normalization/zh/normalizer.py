@@ -85,8 +85,20 @@ _POST_REPLACEMENTS = {
 }
 _RE_BRACKETS = re.compile(r"[【】〖〗〔〕\[\]「」『』]")
 # thousand-separated numbers: 1-3 leading digits then comma-separated
-# triples, not already inside a longer digit run
-_RE_COMMA_NUM = re.compile(r"(?<!\d)\d{1,3}(?:,\d{3})+(?!\d)")
+# triples (optional decimals), not already inside a longer digit run
+_RE_COMMA_NUM = re.compile(r"(?<!\d)\d{1,3}(?:,\d{3})+(?:\.\d+)?(?!\d)")
+
+
+def _collapse_comma_num(match: re.Match) -> str:
+    digits = match.group(0).replace(",", "")
+    # a 7-8 digit collapse would collide with the landline rule and read
+    # digit-wise with 幺; thousand separators mark an unambiguous
+    # cardinal, so verbalize integers of that size immediately
+    if "." not in digits and len(digits) >= 7:
+        from .num import num2str
+
+        return num2str(digits)
+    return digits
 
 
 class ZhTextNormalizer:
@@ -138,8 +150,6 @@ class ZhTextNormalizer:
         # collapse thousand separators BEFORE sentence splitting — the
         # splitter breaks on ASCII commas, which is exactly how the
         # reference ends up dropping digits from "300,000"
-        text = _RE_COMMA_NUM.sub(
-            lambda m: m.group(0).replace(",", ""), text
-        )
+        text = _RE_COMMA_NUM.sub(_collapse_comma_num, text)
         sentences = self._split(text)
         return [self.normalize_sentence(s) for s in sentences]

@@ -53,7 +53,9 @@ def replace_measure(sentence: str) -> str:
     str.replace, quantifier.py:62-66, which rewrites unit letters inside
     ordinary words): "70km/h" -> "70千米/小时" (the /->每 post-replace
     then yields 千米每小时)."""
-    for q_notation, q_name in MEASURE_MAP.items():
+    # longest notation first: 'mg'/'mm' must beat the bare 'm' entry
+    for q_notation in sorted(MEASURE_MAP, key=len, reverse=True):
+        q_name = MEASURE_MAP[q_notation]
         sentence = re.sub(
             rf"(\d|/)(?:{re.escape(q_notation)})",
             rf"\g<1>{q_name}", sentence

@@ -111,6 +111,30 @@ def train(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(learning_rate),
     )
+    # the distillation teacher is the INITIAL parameters, frozen — capture
+    # before any checkpoint restore so resume continues the original
+    # objective instead of distilling the student against itself
+    teacher_params = params
+
+    data_sharding = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, shard_params
+
+        # batch must divide the data axis (same constraint the serving
+        # engine rounds for, engine/synthesizer.py)
+        n_data = mesh.shape["data"]
+        rounded = -(-batch_size // n_data) * n_data
+        if rounded != batch_size:
+            logger.info(
+                "batch_size %d -> %d (multiple of %d-way data axis)",
+                batch_size, rounded, n_data,
+            )
+            batch_size = rounded
+        # place params BEFORE optimizer.init so the adamw mu/nu pytrees
+        # inherit the shardings instead of materializing unsharded
+        params = shard_params(params, mesh)
+        data_sharding = batch_sharding(mesh)
+
     opt_state = optimizer.init(params)
     start_step = 0
     if resume and checkpoint_dir:
@@ -123,16 +147,9 @@ def train(
 
     if batches is None:
         batches = synthetic_batches(
-            model, params, batch_size, tokens, frames, seed=seed
+            model, teacher_params, batch_size, tokens, frames, seed=seed
         )
     step_fn = jax.jit(make_train_step(model, optimizer, num_frames=frames))
-
-    data_sharding = None
-    if mesh is not None:
-        from ..parallel.mesh import batch_sharding, shard_params
-
-        params = shard_params(params, mesh)
-        data_sharding = batch_sharding(mesh)
 
     metrics = {}
     last_saved = -1

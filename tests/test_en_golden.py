@@ -171,6 +171,9 @@ def test_heteronym_context(g2p):
     # "read" is tense-ambiguous: past/participle contexts force ɹɛd
     assert "ɹɛd" in g2p.text_to_ipa("I have read the book")
     assert "ɹid" in g2p.text_to_ipa("please read this")
+    # subject-aux inversion: the auxiliary sits two words back
+    assert "ɹɛd" in g2p.text_to_ipa("Have you read it")
+    assert "ɹɛd" in g2p.text_to_ipa("Has she read the report")
 
 
 def test_apply_stress_algebra():

@@ -176,3 +176,18 @@ class TestTraditionalConversion:
             "舊曆新年將至，萬戶千門貼對聯，燒香點燭祭祖先，"
             "兒孫滿堂慶團圓。")
         assert "❓" not in out
+
+
+def test_comma_numbers_and_units():
+    """Review r2: 7-8 digit thousand-separated numbers must read as
+    cardinals (not landline digit strings), and mg/mm must beat the
+    bare 'm' measure entry."""
+    from illufly_tts_tpu.frontend.normalization.zh import ZhTextNormalizer
+
+    n = ZhTextNormalizer()
+    out = "".join(n.normalize("名单1,234,567。"))
+    assert "一百二十三万四千五百六十七" in out, out
+    out = "".join(n.normalize("营收12,345,678元。"))
+    assert "一千二百三十四万五千六百七十八元" in out, out
+    out = "".join(n.normalize("服用5mg，缝隙3mm。"))
+    assert "五毫克" in out and "三毫米" in out, out
