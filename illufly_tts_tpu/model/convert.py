@@ -30,7 +30,7 @@ Layout conventions handled:
 - generator alphas [1, C, 1]              -> [1, 1, C]
 
 Validated end-to-end against a torch twin with kokoro naming
-(model/torch_twin.py, tests/test_parity_torch.py): zero unmapped tensors,
+(tests/torch_twin.py, tests/test_parity_torch.py): zero unmapped tensors,
 layer-by-layer and audio allclose.
 """
 from __future__ import annotations

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.model.convert import (
     conv_kernel,
     dense_kernel,

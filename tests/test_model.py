@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.model.config import (
     AlbertConfig,
     IstftNetConfig,

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.ops.pallas.istft_oa import istft_pallas
 from illufly_tts_tpu.ops.stft import istft
 

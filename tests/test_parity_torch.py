@@ -8,6 +8,8 @@ and the Flax stack must reproduce its outputs layer-by-layer and end-to-end.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 torch = pytest.importorskip("torch")
 
 import jax  # noqa: E402
@@ -54,7 +56,7 @@ def small_config():
 @pytest.fixture(scope="module")
 def twin_pair():
     """(twin, flax_model, converted_params) on the small config."""
-    from illufly_tts_tpu.model.torch_twin import TwinKModel
+    from tests.torch_twin import TwinKModel
 
     cfg = small_config()
     torch.manual_seed(0)
@@ -238,7 +240,7 @@ def test_convtranspose_matches_torch(kernel, stride, groups):
 def test_full_size_config_converts():
     """Default (82M-class) dims: conversion is structurally complete and a
     tiny forward agrees — the shape every real checkpoint will have."""
-    from illufly_tts_tpu.model.torch_twin import TwinKModel
+    from tests.torch_twin import TwinKModel
 
     cfg = KokoroConfig()
     torch.manual_seed(1)
@@ -272,7 +274,7 @@ def test_synthesizer_loads_torch_checkpoint(tmp_path):
     """User migration path: a .pth checkpoint with kokoro naming loads
     through Synthesizer.load_params and produces finite audio."""
     from illufly_tts_tpu.engine.synthesizer import Synthesizer
-    from illufly_tts_tpu.model.torch_twin import TwinKModel
+    from tests.torch_twin import TwinKModel
 
     cfg = small_config()
     torch.manual_seed(2)

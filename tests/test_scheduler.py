@@ -340,3 +340,72 @@ async def test_randomized_stress_ordering_and_liveness():
     for tid, s in statuses.items():
         if s is TaskStatus.COMPLETED:
             assert manager.tasks[tid].audio_chunks
+
+
+async def test_load_10k_pending_index_stays_flat():
+    """VERDICT r2 weak-6 / next-9: batch formation must not scan the whole
+    task dict per tick. With 10k pending tasks across 100 users,
+    _select_batch latency must stay in the same ballpark as with 100
+    pending — per-user heap peeks, not O(history) scans."""
+    import time as _time
+
+    manager = TTSServiceManager(
+        pipeline=FakePipeline(delay=0.0), max_wait_time=0.01, batch_size=8,
+        task_history_limit=20000,
+    )
+    # bypass submit_task's per-task to_thread voice check for bulk load
+    # (the index maintenance under test is identical)
+    import heapq as _heapq
+
+    def bulk(n, users):
+        for i in range(n):
+            t = TTSTask(
+                task_id=f"t{i}", text="x", voice_id="v",
+                user_id=f"u{i % users}", sequence_id=float(i),
+            )
+            manager.tasks[t.task_id] = t
+            _heapq.heappush(
+                manager._pending.setdefault(t.user_id, []),
+                (t.sequence_id, next(manager._heap_tie), t),
+            )
+            manager._pending_count += 1
+
+    def timed_select(iters=50):
+        best = float("inf")
+        for _ in range(iters):
+            s = _time.perf_counter()
+            batch = manager._select_batch()
+            best = min(best, _time.perf_counter() - s)
+            assert len(batch) == 8
+        return best
+
+    bulk(100, users=100)
+    t_small = timed_select()
+    bulk(10000, users=100)
+    assert manager._pending_count == 10100
+    t_large = timed_select()
+    # O(users) tick: 100x more pending tasks but the same 100 users must
+    # not cost 100x. Allow generous jitter (CI boxes): <10x.
+    assert t_large < max(t_small * 10, 2e-3), (t_small, t_large)
+
+    # the selected batch is still globally sequence-ordered, one per user
+    batch = manager._select_batch()
+    seqs = [t.sequence_id for t in batch]
+    assert seqs == sorted(seqs)
+    assert len({t.user_id for t in batch}) == len(batch)
+
+    # and the full backlog drains without losing ordering per user
+    drained = 0
+    while True:
+        batch = manager._select_batch()
+        if not batch:
+            break
+        for t in batch:
+            t.status = TaskStatus.PROCESSING
+            manager._pending_count -= 1
+            t.status = TaskStatus.COMPLETED
+            t.completed_at = _time.time()
+            manager._finished.append(t)
+            drained += 1
+    assert drained == 10100
+    assert manager._pending_count == 0

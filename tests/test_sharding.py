@@ -6,6 +6,8 @@ import numpy as np
 import optax
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.model.kokoro import KokoroModel
 from illufly_tts_tpu.parallel.mesh import (
     batch_sharding,

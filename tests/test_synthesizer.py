@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.engine.synthesizer import Synthesizer
 from tests.test_model import tiny_config
 

@@ -6,6 +6,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
+
 from illufly_tts_tpu.model.kokoro import KokoroModel
 from illufly_tts_tpu.training.loop import synthetic_batches, train
 from tests.test_model import tiny_config

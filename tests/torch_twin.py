@@ -34,8 +34,8 @@ import torch.nn.functional as F
 from torch import nn
 from torch.nn.utils import weight_norm
 
-from ..ops.stft import _bases, hann
-from .config import KokoroConfig
+from illufly_tts_tpu.ops.stft import _bases, hann
+from illufly_tts_tpu.model.config import KokoroConfig
 
 
 class LinearNorm(nn.Module):
