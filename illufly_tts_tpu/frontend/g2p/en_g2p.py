@@ -1,22 +1,31 @@
 # -*- coding: utf-8 -*-
-"""English G2P: lexicon lookup + morphology + letter-to-sound rules.
+"""English G2P: POS-aware lexicon lookup + morphology + letter-to-sound.
 
 Capability parity with the reference's Misaki-adapted ``EnglishG2P``
 (reference: src/illufly_tts/core/g2p/english_g2p.py:33-814): lexicon lookup
 with case handling, the 7-level stress algebra (ref :61-88), -s/-ed/-ing
 stem rules, NNP letter spelling with stress re-split (ref :204-250),
-context heteronyms, and IPA output. The reference leans on spaCy + 12.6 MB
-third-party lexicons; here a hand-authored lexicon (frontend/g2p/data/,
-loaded by en_lexicon.py) plus stress-aware letter-to-sound rules cover OOV
-words, and users can bring the reference's misaki-format JSON lexicons via
-``--en-dict`` (custom_dict.load_en_dict).
+tag-keyed heteronyms resolved through a POS tagger with parent-tag fallback
+(ref :253-293), the reverse-order context walk propagating
+``future_vowel``/``future_to`` before forward phoneme collection
+(ref :716-759), the markdown-link feature preprocessor ``[word](feature)``
+(ref :653-688), and IPA output. The reference leans on spaCy + 12.6 MB
+third-party lexicons; here a deterministic rule tagger (pos.py), a
+hand-authored lexicon (frontend/g2p/data/, loaded by en_lexicon.py), a
+tag-keyed heteronym table (data/en_heteronyms.tsv), and stress-aware
+letter-to-sound rules cover the same surface. Users can bring the
+reference's misaki-format JSON lexicons via ``--en-dict``
+(custom_dict.load_en_dict).
 """
 from __future__ import annotations
 
+import os
 import re
-from typing import List, Optional
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 from .en_lexicon import LEXICON
+from .pos import parent_tag, tag_words
 
 VOWELS = "aeiouy"
 _VOICELESS = set("ptkfθsʃtʃ")
@@ -63,29 +72,53 @@ def apply_stress(ps: str, stress) -> str:
     return ps
 
 
-# heteronyms resolvable from immediate context without a POS tagger:
-# (before "to"/determiner heuristics). verb/noun readings.
-HETERONYMS = {
-    "record": ("ɹɪkˈɔɹd", "ɹˈɛkɚd"),
-    "present": ("pɹɪzˈɛnt", "pɹˈɛzənt"),
-    "object": ("əbdʒˈɛkt", "ˈɑbdʒɛkt"),
-    "subject": ("səbdʒˈɛkt", "sˈʌbdʒɪkt"),
-    "permit": ("pɚmˈɪt", "pˈɝmɪt"),
-    "produce": ("pɹədˈus", "pɹˈoʊdus"),
-    "contract": ("kəntɹˈækt", "kˈɑntɹækt"),
-    "conduct": ("kəndˈʌkt", "kˈɑndʌkt"),
-    "content": ("kəntˈɛnt", "kˈɑntɛnt"),
-    "live": ("lɪv", "laɪv"),
-    "use": ("juz", "jus"),
-    "close": ("kloʊz", "kloʊs"),
-    "house": ("haʊz", "haʊs"),
-}
-# "read" is tense- not POS-ambiguous: past/participle contexts force ɹɛd
+def _load_heteronyms() -> Dict[str, Dict[str, str]]:
+    """Tag-keyed heteronym table (data/en_heteronyms.tsv):
+    word -> {parent_tag_or_DEFAULT: ipa}. Same resolution scheme as the
+    reference's tag-keyed gold entries (english_g2p.py:279-293)."""
+    table: Dict[str, Dict[str, str]] = {}
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "data",
+        "en_heteronyms.tsv",
+    )
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            word, _, readings = line.partition("\t")
+            entry = {}
+            for part in readings.split(";"):
+                tag, _, ipa = part.partition(":")
+                if ipa:
+                    entry[tag] = ipa
+            if entry:
+                table[word] = entry
+    return table
+
+
+HETERONYMS: Dict[str, Dict[str, str]] = _load_heteronyms()
+
+# "read" is tense- not POS-ambiguous: the tagger marks VBN after a perfect
+# auxiliary; these extra markers catch past contexts the tagger can't see
 _READ_PAST_CONTEXT = {"have", "has", "had", "was", "were", "been",
                       "already", "just", "i've", "you've", "we've",
                       "they've", "he's", "she's"}
-_DETERMINERS = {"the", "a", "an", "this", "that", "its", "my", "your",
-                "their", "his", "her", "our", "some", "any", "no"}
+
+
+@dataclass
+class TokenContext:
+    """Right-to-left context carried by the reverse walk (reference
+    english_g2p.py:57-61): does the *next* word start with a vowel sound,
+    and is the next word "to"."""
+    future_vowel: Optional[bool] = None
+    future_to: bool = False
+
+
+# markdown-link features: [word](+2) stress, [word](/ipa/) direct phonemes,
+# [word](#alias#) pronounce-as-alias (reference english_g2p.py:653-688)
+LINK_RE = re.compile(r"\[([^\]]+)\]\(([^\)]*)\)")
+_IPA_CONSONANTS = frozenset("bdfhjklmnpstvwzðŋɡɹɾʃʒθ")
 
 LETTER_NAMES = {
     "a": "ˈeɪ", "b": "bˈi", "c": "sˈi", "d": "dˈi", "e": "ˈi",
@@ -340,59 +373,184 @@ class EnglishG2P:
         # letter-to-sound fallback, stress-marked like lexicon entries
         return _stress_lts(lower, _lts(lower))
 
-    def text_to_ipa(self, text: str) -> str:
-        tokens = re.findall(
-            r"[A-Za-z]+(?:'[A-Za-z]+)?|[^A-Za-z\s]+|\s+", text
-        )
-        words = [t for t in tokens if re.match(r"[A-Za-z]", t or " ")]
-        # contextual function words: "the" -> ði before a vowel sound
-        # (misaki-style future_vowel handling, reference english_g2p.py:716)
-        parts: List[str] = []
-        wi = 0
-        for token in tokens:
-            if token.isspace():
-                if parts and not parts[-1].endswith(" "):
-                    parts.append(" ")
-                continue
-            if re.match(r"[A-Za-z]", token):
-                lower = token.lower()
-                if lower == "read":
-                    # unstressed like the other monosyllabic entries.
-                    # scan two words back: subject-aux inversion puts a
-                    # pronoun between the auxiliary and the verb
-                    # ("Have you read it?")
-                    prev = words[wi - 1].lower() if wi > 0 else ""
-                    prev2 = words[wi - 2].lower() if wi > 1 else ""
-                    past = prev in _READ_PAST_CONTEXT or (
-                        prev in ("you", "she", "he", "they", "we", "i",
-                                 "it", "anyone", "anybody")
-                        and prev2 in _READ_PAST_CONTEXT
-                    )
-                    ipa = "ɹɛd" if past else "ɹid"
-                elif lower in HETERONYMS:
-                    # verb reading after "to"/pronoun-subject; noun reading
-                    # after a determiner (misaki uses a POS tagger,
-                    # reference english_g2p.py:716-759; this covers the
-                    # unambiguous local contexts)
-                    prev = words[wi - 1].lower() if wi > 0 else ""
-                    verb, noun = HETERONYMS[lower]
-                    if prev in _DETERMINERS:
-                        ipa = noun
-                    elif prev in ("to", "we", "they", "i", "you", "will",
-                                  "would", "can", "could", "must"):
-                        ipa = verb
-                    else:
-                        ipa = self.word_to_ipa(token) or noun
-                else:
-                    ipa = self.word_to_ipa(token)
-                if lower == "the" and wi + 1 < len(words):
-                    nxt = self.word_to_ipa(words[wi + 1])
-                    if nxt and nxt.lstrip("ˈˌ")[:1] in "aeiouæɑɔəɚɛɝɪʊʌ":
-                        ipa = "ði"
-                parts.append(ipa)
-                wi += 1
+    # --- tokenization with markdown-link features ---------------------------
+
+    _TOKEN_RE = re.compile(
+        r"\[([^\]]+)\]\(([^\)]*)\)"        # [word](feature)
+        r"|[A-Za-z]+(?:'[A-Za-z]+)?"       # word or contraction
+        r"|[^A-Za-z\s]"                    # single punctuation mark
+        r"|\s+"
+    )
+
+    @staticmethod
+    def _parse_feature(raw: str):
+        """Decode a link feature (reference english_g2p.py:662-676):
+        integers / ±0.5 are stress levels, /…/ is literal phonemes,
+        #…# is a pronounce-as alias."""
+        if re.match(r"^[+-]?\d+$", raw):
+            return ("stress", int(raw))
+        if raw in ("0.5", "+0.5"):
+            return ("stress", 0.5)
+        if raw == "-0.5":
+            return ("stress", -0.5)
+        if len(raw) > 1 and raw.startswith("/"):
+            return ("phonemes", raw[1:].rstrip("/"))
+        if len(raw) > 1 and raw.startswith("#"):
+            return ("alias", raw[1:].rstrip("#"))
+        return None
+
+    def _tokenize(self, text: str) -> List[Tuple[str, bool, Optional[tuple]]]:
+        """-> [(token_text, has_trailing_space, feature)]"""
+        raw: List[Tuple[str, Optional[tuple]]] = []
+        for m in self._TOKEN_RE.finditer(text):
+            if m.group(1) is not None:  # markdown link
+                feature = self._parse_feature(m.group(2))
+                for word in m.group(1).split():
+                    raw.append((word, feature))
             else:
-                parts.append(token)
+                raw.append((m.group(0), None))
+        out: List[Tuple[str, bool, Optional[tuple]]] = []
+        for token, feature in raw:
+            if token.isspace():
+                if out:
+                    prev = out[-1]
+                    out[-1] = (prev[0], True, prev[2])
+                continue
+            out.append((token, False, feature))
+        return out
+
+    # --- the reverse context walk -------------------------------------------
+
+    def _resolve_token(
+        self, word: str, tag: Optional[str], ctx: TokenContext,
+        feature: Optional[tuple], past_read: bool,
+    ) -> str:
+        """Phonemize one word given its tag and right context (mirrors the
+        reference's Lexicon.__call__ + get_special_case dispatch,
+        english_g2p.py:213-250,279-293)."""
+        if feature and feature[0] == "phonemes":
+            return feature[1]
+        if feature and feature[0] == "alias":
+            word = feature[1]
+        stress = feature[1] if feature and feature[0] == "stress" else None
+        lower = word.lower().rstrip(".")
+        family = parent_tag(tag)
+
+        ps: Optional[str] = None
+        if lower == "a":
+            ps = "ə" if tag == "DT" else "ˈeɪ"
+        elif lower == "an":
+            ps = "ən"
+        elif lower == "the":
+            ps = "ði" if ctx.future_vowel is True else "ðə"
+        elif lower == "to" and tag in ("TO", "IN"):
+            ps = {None: "tu", False: "tə", True: "tʊ"}[ctx.future_vowel]
+        elif lower in ("vs", "versus"):
+            ps = self.word_to_ipa("versus")
+        elif lower == "used":
+            # "used to" (habitual) and adjectival "used car" devoice to
+            # /just/; the plain transitive past keeps /juzd/. NOTE the
+            # reference inverts this (english_g2p.py:247-250 returns the
+            # VBD reading exactly when future_to is set) — pinned here as
+            # a reference bug, matching actual US pronunciation instead.
+            if ctx.future_to or family == "ADJ":
+                ps = "just"
+            elif family == "VERB":
+                ps = "juzd"
+            else:
+                ps = "just"
+        elif lower == "read":
+            ps = "ɹɛd" if (tag in ("VBD", "VBN") or past_read) else "ɹid"
+        if ps is not None:
+            return apply_stress(ps, stress)
+
+        # tag-keyed heteronyms, with -s/-ed/-ing morphology on the stem
+        het = HETERONYMS.get(lower)
+        if het is not None:
+            ps = het.get(family or "", het.get("DEFAULT"))
+        else:
+            stem_ps = None
+            if lower.endswith("s") and not lower.endswith("ss") \
+                    and lower[:-1] in HETERONYMS:
+                stem = HETERONYMS[lower[:-1]]
+                stem_ps = stem.get(family or "", stem.get("DEFAULT"))
+                if stem_ps:
+                    ps = _append_plural(stem_ps)
+            else:
+                def verb_of(stem_word: str) -> Optional[str]:
+                    entry = HETERONYMS.get(stem_word)
+                    if entry is None:
+                        return None
+                    return entry.get("VERB", entry.get("DEFAULT"))
+
+                if lower.endswith("ed"):
+                    stem_ps = verb_of(lower[:-2]) or verb_of(lower[:-1])
+                    if stem_ps:
+                        ps = _append_past(stem_ps)
+                elif lower.endswith("ing"):
+                    stem_ps = verb_of(lower[:-3]) or verb_of(
+                        lower[:-3] + "e"
+                    )
+                    if stem_ps:
+                        ps = stem_ps + "ɪŋ"
+        if ps is not None:
+            return apply_stress(ps, stress)
+        return apply_stress(self.word_to_ipa(word), stress)
+
+    def text_to_ipa(self, text: str) -> str:
+        """Text -> IPA via the reference's two-phase scheme
+        (english_g2p.py:716-759): a REVERSE walk resolves each token with
+        knowledge of what follows (future_vowel / future_to), then a
+        forward pass collects phonemes in order."""
+        tokens = self._tokenize(text)
+        if not tokens:
+            return ""
+        words = [t[0] for t in tokens]
+        tags = tag_words(words)
+        is_word = [bool(re.match(r"[A-Za-z]", w)) for w in words]
+
+        # tense clue for "read" that sits beyond the tagger's reach:
+        # subject-aux inversion ("Have you read it?") and perfect markers
+        def read_is_past(i: int) -> bool:
+            widx = [j for j in range(i) if is_word[j]]
+            prev = words[widx[-1]].lower() if widx else ""
+            prev2 = words[widx[-2]].lower() if len(widx) > 1 else ""
+            return prev in _READ_PAST_CONTEXT or (
+                prev in ("you", "she", "he", "they", "we", "i", "it",
+                         "anyone", "anybody")
+                and prev2 in _READ_PAST_CONTEXT
+            )
+
+        phonemes: List[Optional[str]] = [None] * len(tokens)
+        ctx = TokenContext()
+        for i in range(len(tokens) - 1, -1, -1):
+            word, _, feature = tokens[i]
+            if is_word[i]:
+                ps = self._resolve_token(
+                    word, tags[i], ctx, feature,
+                    word.lower() == "read" and read_is_past(i),
+                )
+            else:
+                ps = word  # punctuation passes through
+            phonemes[i] = ps
+            # scan for the first vowel/consonant sound to set future_vowel
+            # (stress marks and punctuation leave it unchanged)
+            vowel = ctx.future_vowel
+            for c in ps or "":
+                if c in IPA_VOWELS:
+                    vowel = True
+                    break
+                if c in _IPA_CONSONANTS:
+                    vowel = False
+                    break
+            ctx.future_vowel = vowel
+            ctx.future_to = word.lower() == "to"
+
+        parts: List[str] = []
+        for (word, trailing_space, _), ps in zip(tokens, phonemes):
+            parts.append(ps or "")
+            if trailing_space:
+                parts.append(" ")
         result = "".join(parts)
         return re.sub(r"\s{2,}", " ", result).strip()
 
