@@ -133,6 +133,8 @@ LETTER_NAMES = {
 # position: None anywhere, '^' word-initial only, '$' word-final only.
 _RULES = [
     ("ought", "ɔt", None), ("aught", "ɔt", None),
+    ("who", "hu", "^"), ("alk", "ɔk", None), ("wor", "wɝ", "^"),
+    ("augh", "æf", None), ("ough", "ʌf", None),
     ("tion", "ʃən", None), ("sion", "ʒən", None), ("cial", "ʃəl", None),
     ("tial", "ʃəl", None), ("ture", "tʃɚ", None), ("sure", "ʒɚ", None),
     ("cious", "ʃəs", None), ("tious", "ʃəs", None), ("ous", "əs", None),
@@ -142,6 +144,12 @@ _RULES = [
     ("wh", "w", "^"), ("qu", "kw", None), ("ck", "k", None),
     ("ph", "f", None), ("sh", "ʃ", None), ("ch", "tʃ", None),
     ("th", "θ", None), ("ng", "ŋ", None), ("mb", "m", "$"),
+    ("gh", "ɡ", "^"), ("gh", "", None),  # ghost vs sigh/weigh
+    ("ange", "eɪndʒ", "$"), ("nge", "ndʒ", "$"),  # change, hinge
+    ("ould", "ʊd", "$"), ("oung", "ʌŋ", "$"), ("ular", "jəlɚ", "$"),
+    ("or", "ɚ", "$"),  # error, warrior (unstressed final -or)
+    ("ar", "ɚ", "$"),  # sugar, solar (unstressed final -ar)
+    ("eu", "ju", None),
     ("ear", "ɪɹ", None), ("air", "ɛɹ", None), ("oor", "ɔɹ", None),
     ("are", "ɛɹ", "$"), ("ore", "ɔɹ", "$"), ("ire", "aɪɚ", "$"),
     ("ure", "ʊɹ", "$"),
@@ -165,6 +173,21 @@ _RULES = [
 
 def _lts(word: str) -> str:
     """Deterministic letter-to-sound for an OOV lowercase word."""
+    # inflectional endings first: voicing assimilation beats letter rules
+    if len(word) > 4 and word.endswith("ed") and word[-3] not in "aeiou":
+        base = _lts(word[:-2])
+        if base:
+            if base[-1] in "td":
+                return base + "əd"
+            return base + ("t" if base[-1] in _VOICELESS else "d")
+    if len(word) > 4 and word.endswith("es") and (
+        word[-3] in "sxz" or word[-4:-2] in ("ch", "sh")
+    ):
+        base = _lts(word[:-2])
+        if base:
+            return base + "əz"
+    # doubled consonant letters spell one sound ("occurred", "tariff")
+    word = re.sub(r"([bcdfgklmnprstvz])\1", r"\1", word)
     out: List[str] = []
     n = len(word)
     i = 0
@@ -173,7 +196,9 @@ def _lts(word: str) -> str:
         # magic-e: V C e(s|d)?$  -> long vowel
         if ch in "aeiou" and i + 2 < n + 1:
             rest = word[i + 1:]
-            m = re.match(r"([bcdfghklmnprstvz])e(s|d)?$", rest)
+            # 'r' excluded: r-colored finals (-are/-ire/-ore/-ure) have
+            # their own rules and are not magic-e long vowels
+            m = re.match(r"([bcdfghklmnpstvz])e(s|d)?$", rest)
             if m:
                 long_map = {"a": "eɪ", "e": "i", "i": "aɪ", "o": "oʊ", "u": "u"}
                 cons = m.group(1)
@@ -335,6 +360,120 @@ class EnglishG2P:
         demoted[-1] = apply_stress(demoted[-1], 1)  # ˌ -> ˈ on the last
         return "".join(demoted)
 
+    # productive affixes applied at lookup time (each multiplies every
+    # lexicon root; the reference gets the same coverage by shipping every
+    # inflected form in its 12.6 MB silver lexicon, english_g2p.py:160-170)
+    _PREFIXES = [
+        ("counter", "kˌaʊntɚ"), ("under", "ˌʌndɚ"), ("inter", "ˌɪntɚ"),
+        ("super", "ˌsupɚ"), ("micro", "mˌaɪkɹoʊ"), ("multi", "mˌʌlti"),
+        ("ultra", "ˌʌltɹə"), ("cyber", "sˌaɪbɚ"), ("trans", "tɹænz"),
+        ("over", "ˌoʊvɚ"), ("anti", "ˌænti"), ("semi", "sˌɛmi"),
+        ("auto", "ˌɔtoʊ"), ("mega", "mˌɛɡə"), ("out", "ˌaʊt"),
+        ("non", "nˌɑn"), ("pre", "pɹi"), ("mis", "mɪs"), ("dis", "dɪs"),
+        ("eco", "ˌikoʊ"), ("sub", "sˌʌb"), ("un", "ʌn"), ("re", "ɹi"),
+        ("co", "koʊ"),
+    ]
+    _SUFFIXES = [
+        ("ment", "mənt"), ("ness", "nəs"), ("hood", "hˌʊd"),
+        ("ship", "ʃˌɪp"), ("less", "ləs"), ("like", "lˌaɪk"),
+        ("wise", "wˌaɪz"), ("ful", "fəl"), ("ish", "ɪʃ"), ("est", "əst"),
+        ("ly", "li"),
+    ]
+
+    def _derive(self, lower: str, depth: int = 0) -> Optional[str]:
+        """Recursive morphological lookup: inflections, productive
+        prefixes/suffixes, and closed compounds, all resolved against the
+        lexicon (depth-limited so 'researchers' = research+er+s works)."""
+        found = LEXICON.get(lower)
+        if found is not None:
+            return found
+        if depth >= 3 or len(lower) < 3:
+            return None
+
+        def stem(s: str) -> Optional[str]:
+            return self._derive(s, depth + 1)
+
+        if lower.endswith("'s"):
+            ps = stem(lower[:-2])
+            if ps:
+                return _append_plural(ps)
+        if lower.endswith("ies") and len(lower) > 4:
+            ps = stem(lower[:-3] + "y")
+            if ps:
+                return _append_plural(ps)
+        if lower.endswith("s") and not lower.endswith("ss"):
+            ps = stem(lower[:-1]) or (
+                stem(lower[:-2]) if lower.endswith("es") else None
+            )
+            if ps:
+                return _append_plural(ps)
+        if lower.endswith("ied") and len(lower) > 4:
+            ps = stem(lower[:-3] + "y")
+            if ps:
+                return _append_past(ps)
+        if lower.endswith("ed"):
+            ps = stem(lower[:-2]) or stem(lower[:-1]) or (
+                stem(lower[:-3]) if len(lower) > 4
+                and lower[-3] == lower[-4] else None  # doubled: stopped
+            )
+            if ps:
+                return _append_past(ps)
+        if lower.endswith("ing"):
+            ps = stem(lower[:-3]) or stem(lower[:-3] + "e") or (
+                stem(lower[:-4]) if len(lower) > 5
+                and lower[-4] == lower[-5] else None  # doubled: running
+            )
+            if ps:
+                return ps + "ɪŋ"
+        if lower.endswith("er"):
+            ps = stem(lower[:-2]) or stem(lower[:-2] + "e") or (
+                stem(lower[:-3]) if len(lower) > 4
+                and lower[-3] == lower[-4] else None  # doubled: runner
+            )
+            if ps:
+                return ps + "ɚ"
+        if lower.endswith("able"):
+            ps = stem(lower[:-4]) or stem(lower[:-4] + "e")
+            if ps:
+                return ps + "əbəl"
+        if lower.endswith("y") and len(lower) > 3:
+            ps = stem(lower[:-1]) or (
+                stem(lower[:-2]) if lower[-2] == lower[-3] else None
+            )
+            if ps:
+                return ps + "i"
+        if lower.endswith("ation") and len(lower) > 7:
+            # -ation takes primary stress itself and destresses the base:
+            # migrate -> migration, install -> installation
+            ps = stem(lower[:-5] + "ate") or stem(lower[:-5] + "e") or \
+                stem(lower[:-5])
+            if ps:
+                base = apply_stress(ps, -2)
+                if base.endswith("eɪt"):
+                    base = base[:-3]
+                return base + "ˈeɪʃən"
+        for suffix, suffix_ipa in self._SUFFIXES:
+            if lower.endswith(suffix) and len(lower) - len(suffix) >= 3:
+                ps = stem(lower[: -len(suffix)])
+                if ps:
+                    return ps + suffix_ipa
+        for prefix, prefix_ipa in self._PREFIXES:
+            if lower.startswith(prefix) and len(lower) - len(prefix) >= 3:
+                ps = stem(lower[len(prefix):])
+                if ps:
+                    # stem keeps primary stress; prefix carries at most
+                    # the secondary marks written in its table entry
+                    return prefix_ipa + ps
+        # closed compounds ("rainwater", "quarterback"): both halves must
+        # be lexicon words (no recursion — guessed halves compound badly);
+        # first element keeps primary stress, second demotes to secondary
+        if depth == 0 and len(lower) >= 6:
+            for i in range(3, len(lower) - 2):
+                left, right = LEXICON.get(lower[:i]), LEXICON.get(lower[i:])
+                if left and right:
+                    return left + apply_stress(right, -1)
+        return None
+
     def word_to_ipa(self, word: str) -> str:
         base = self.lookup(word)
         if base is not None:
@@ -345,32 +484,21 @@ class EnglishG2P:
             return self.spell_letters(word)
         if len(lower) == 1:
             return LETTER_NAMES.get(lower, self.unk)
-        # morphology against the lexicon
-        if lower.endswith("'s"):
-            stem = self.lookup(lower[:-2])
-            if stem:
-                return _append_plural(stem)
-        if lower.endswith("s") and not lower.endswith("ss"):
-            stem = self.lookup(lower[:-1]) or (
-                self.lookup(lower[:-2]) if lower.endswith("es") else None
-            )
-            if stem:
-                return _append_plural(stem)
-        if lower.endswith("ed"):
-            stem = self.lookup(lower[:-2]) or self.lookup(lower[:-1])
-            if stem:
-                return _append_past(stem)
-        if lower.endswith("ing"):
-            stem = self.lookup(lower[:-3]) or (
-                self.lookup(lower[:-3] + "e")
-            )
-            if stem:
-                return stem + "ɪŋ"
-        if lower.endswith("ly"):
-            stem = self.lookup(lower[:-2])
-            if stem:
-                return stem + "li"
-        # letter-to-sound fallback, stress-marked like lexicon entries
+        # morphology / affixes / compounds against the lexicon
+        derived = self._derive(lower)
+        if derived is not None:
+            return derived
+        # letter-to-sound fallback, stress-marked like lexicon entries:
+        # the trained joint-trigram model (lts_model.py, 87-88% phoneme
+        # accuracy held-out) first, hand rules as the backstop
+        if lower.isalpha():
+            from .lts_model import get_model
+
+            model = get_model()
+            if model is not None:
+                pred = model.predict(lower)
+                if pred:
+                    return _stress_lts(lower, pred)
         return _stress_lts(lower, _lts(lower))
 
     # --- tokenization with markdown-link features ---------------------------
