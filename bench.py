@@ -18,6 +18,12 @@ Scenarios (detail fields):
 - e2e_x_realtime: full texts->wav path (zh frontend + model) on distinct
   texts per batch (cache-miss regime)
 - batch1_latency_s: single-utterance post-warmup latency
+- cold_start_s: parallel AOT warmup wall time for the full inventory
+  (seconds when the persistent compilation cache hits; minutes cold)
+- roofline: per-stage achieved TFLOP/s and GB/s from XLA cost analysis
+  against the MEASURED chip envelope (~85 TF bf16 / ~216 GB/s on this
+  tunneled v5-lite chip — datasheet peaks are not reachable here), plus
+  mfu / hbm_frac so "fast" is auditable against speed-of-light.
 
 Shapes mirror real serving: ~10 s utterances (frame bucket 512 at 40
 duration-frames/s), 256-token phoneme bucket — the chunk_size=200 regime the
@@ -31,6 +37,11 @@ import json
 import sys
 import time
 from collections import deque
+
+# measured envelope of this environment's chip (memory: tpu-bench-pitfalls;
+# round-2 microbenchmarks — NOT datasheet numbers)
+PEAK_TFLOPS = 85.0
+PEAK_GBPS = 216.0
 
 
 def log(msg: str) -> None:
@@ -67,14 +78,44 @@ def pipelined_throughput(synth, batches, depth=3):
     return total_samples / synth.sample_rate, elapsed
 
 
+def stage_cost(fn, args):
+    """(flops, bytes) from XLA cost analysis of the compiled stage.
+    The re-lowering hits the persistent compilation cache (seconds);
+    (None, None) if the backend exposes no analysis."""
+    try:
+        ca = fn.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        if ca is None:
+            return None, None
+        return ca.get("flops"), ca.get("bytes accessed")
+    except Exception as exc:
+        log(f"cost_analysis unavailable: {exc}")
+        return None, None
+
+
+def time_stage(jax, fn, args, iters=20):
+    """Mean seconds/call with `iters` dispatches in flight (hides the
+    ~30 ms tunnel overhead per dispatch — memory: tpu-bench-pitfalls)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     from illufly_tts_tpu.engine.synthesizer import Synthesizer
     from illufly_tts_tpu.model.config import KokoroConfig
+    from illufly_tts_tpu.model.kokoro import _fit_durations
 
     batch = 32
+    tokens = 256
     frames = 512          # 12.8 s of audio per utterance at 40 frames/s
     iters = 10
     cfg = KokoroConfig(dtype=jnp.bfloat16)
@@ -82,7 +123,7 @@ def main() -> None:
     log(f"platform={jax.devices()[0].platform} building synthesizer...")
     synth = Synthesizer(
         config=cfg,
-        token_buckets=(256,),
+        token_buckets=(tokens,),
         frame_buckets=(frames,),
     )
     synth.register_random_voice("bench_voice", seed=7)
@@ -92,13 +133,15 @@ def main() -> None:
     texts = [text] * batch
     voices = ["bench_voice"] * batch
 
-    log("compiling (warmup)...")
+    log("warmup: parallel AOT compile of the serving inventory...")
+    cold_start = synth.warmup(
+        batch_sizes=(1, batch), token_sizes=(tokens,),
+        frame_sizes=(frames,),
+    )
+    log(f"cold start (all executables ready) {cold_start:.1f}s")
     t0 = time.perf_counter()
     synth.synthesize_batch(texts, voices)
-    log(f"first call (compile) took {time.perf_counter() - t0:.1f}s")
-    t0 = time.perf_counter()
-    synth.synthesize_batch(texts, voices)
-    log(f"second call took {time.perf_counter() - t0:.2f}s")
+    log(f"first call took {time.perf_counter() - t0:.2f}s")
 
     log("scenario 1: pinned bucket, pipelined...")
     audio_sec, elapsed = pipelined_throughput(
@@ -107,13 +150,59 @@ def main() -> None:
     throughput = audio_sec / elapsed
     rtf = elapsed / audio_sec
 
+    # ---- roofline: per-stage cost analysis + measured times ------------------
+    log("roofline: timing stages in isolation...")
+    stage_a = synth._stage_a[(batch, tokens)]
+    stage_b = synth._stage_b[(batch, tokens, frames, True)]
+    handle = synth.dispatch(texts, voices)
+    pred_fit = _fit_durations(handle.pred_dur, frames)
+    args_a = (
+        synth.params, handle.ids, handle.mask, handle.ref,
+        jnp.ones((handle.b_bucket,), jnp.float32),
+    )
+    args_b = (
+        synth.params, handle.ids, handle.mask, handle.d, pred_fit,
+        handle.ref,
+    )
+    t_a = time_stage(jax, stage_a, args_a)
+    t_b = time_stage(jax, stage_b, args_b)
+    fl_a, by_a = stage_cost(stage_a, args_a)
+    fl_b, by_b = stage_cost(stage_b, args_b)
+
+    def stage_fields(t, fl, by):
+        out = {"time_ms": round(t * 1e3, 2)}
+        if fl:
+            out["achieved_tflops"] = round(fl / t / 1e12, 2)
+            out["mfu"] = round(fl / t / 1e12 / PEAK_TFLOPS, 4)
+        if by:
+            out["achieved_gbps"] = round(by / t / 1e9, 1)
+            out["hbm_frac"] = round(by / t / 1e9 / PEAK_GBPS, 4)
+        return out
+
+    roofline = {
+        "peak_tflops_measured": PEAK_TFLOPS,
+        "peak_gbps_measured": PEAK_GBPS,
+        "stage_a": stage_fields(t_a, fl_a, by_a),
+        "stage_b": stage_fields(t_b, fl_b, by_b),
+    }
+    if fl_a and fl_b:
+        total_t = t_a + t_b
+        roofline["combined"] = stage_fields(
+            total_t, fl_a + fl_b, (by_a or 0) + (by_b or 0)
+        )
+    log(f"roofline: {json.dumps(roofline)}")
+
     # ---- scenario 2: multi-bucket inventory, same workload -------------------
     log("scenario 2: multi-bucket (256, 512)...")
     synth_mb = Synthesizer(
         config=cfg, params=synth.params,
-        token_buckets=(256,), frame_buckets=(256, frames),
+        token_buckets=(tokens,), frame_buckets=(256, frames),
     )
     synth_mb._voices = synth._voices
+    synth_mb.warmup(
+        batch_sizes=(batch,), token_sizes=(tokens,),
+        frame_sizes=(256, frames),
+    )
     synth_mb.synthesize_batch(texts, voices)  # warm (picks 512)
     audio_mb, elapsed_mb = pipelined_throughput(
         synth_mb, [(texts, voices)] * iters
@@ -133,11 +222,20 @@ def main() -> None:
         for i in range(e2e_iters)
     ]
     pipe.batch_process_texts(e2e_batches[0], voices)  # warm compile+jieba
+    # 2-deep pipelining, exactly like the serving scheduler
+    # (runtime/scheduler.py pipeline_depth): batch k+1's host frontend
+    # overlaps batch k's device decode (GIL released inside XLA)
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.perf_counter()
     e2e_samples = 0
-    for batch_texts in e2e_batches:
-        out = pipe.batch_process_texts(batch_texts, voices)
-        e2e_samples += sum(a.size for a in out)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futures = [
+            pool.submit(pipe.batch_process_texts, batch_texts, voices)
+            for batch_texts in e2e_batches
+        ]
+        for fut in futures:
+            e2e_samples += sum(a.size for a in fut.result())
     e2e_elapsed = time.perf_counter() - t0
     e2e_throughput = (e2e_samples / synth.sample_rate) / e2e_elapsed
 
@@ -160,6 +258,8 @@ def main() -> None:
             "multibucket_x_realtime": round(mb_throughput, 2),
             "e2e_x_realtime": round(e2e_throughput, 2),
             "batch1_latency_s": round(b1_latency, 3),
+            "cold_start_s": round(cold_start, 1),
+            "roofline": roofline,
             "batch": batch,
             "frame_bucket": frames,
             "phonemes_per_utt": len(text),

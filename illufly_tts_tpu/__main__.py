@@ -243,10 +243,14 @@ def api(host, port, server_host, server_port, process_command, process_args):
 @click.option("--tiny", is_flag=True,
               help="tiny model config (smoke runs / CI)")
 @click.option("--seed", default=0, type=int)
+@click.option("--data", "data_dir", default=None,
+              help="dataset dir (metadata.csv+wavs/ or paired wav+txt); "
+                   "switches to the mel-L1 + multi-res-STFT objective")
 def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
-          checkpoint_every, dp, device, tiny, seed):
+          checkpoint_every, dp, device, tiny, seed, data_dir):
     """Train the model (teacher-distillation on synthetic data by
-    default; the reference ships no training code — SURVEY §0)."""
+    default, real speech data via --data; the reference ships no
+    training code — SURVEY §0)."""
     _apply_device(device)
     import jax.numpy as jnp
 
@@ -288,7 +292,7 @@ def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
         model, params, steps=steps, batch_size=batch_size, tokens=tokens,
         frames=frames, learning_rate=lr, mesh=mesh,
         checkpoint_dir=checkpoint_dir, resume=resume,
-        checkpoint_every=checkpoint_every, seed=seed,
+        checkpoint_every=checkpoint_every, seed=seed, data_dir=data_dir,
     )
     click.echo(f"done: {metrics}")
 

@@ -80,6 +80,23 @@ class TTSPipeline:
         self.sample_rate = self.synthesizer.sample_rate
         logger.info("TTSPipeline ready (device=%s)", self.device)
 
+    def _init_frontend_only(self) -> None:
+        """Construct ONLY the text frontend (no synthesizer / device
+        state). Used by training/data.py to phonemize transcripts — a
+        dataset scan must not allocate TPU buffers or compile anything."""
+        self.repo_id = ""
+        self.voices_dir = None
+        self.device = "none"
+        self.default_language = "zh"
+        self.sample_rate = 24000
+        self.fail_silent = False
+        self.en_g2p = EnglishG2P()
+        self.en_callback = self.en_g2p.text_to_ipa
+        self.g2p = ChineseG2P(en_callable=self.en_callback)
+        self.zh_normalizer = ZhTextNormalizer()
+        self.en_normalizer = EnTextNormalizer()
+        self.synthesizer = None
+
     # --- voices ---------------------------------------------------------------
 
     def load_voice(self, voice_id: str):

@@ -1,0 +1,183 @@
+# -*- coding: utf-8 -*-
+"""Dataset loader: wav+transcript directory -> teacher-forced TrainBatch.
+
+The reference ships no training code (SURVEY §0). This makes `train
+--data DIR` work on real speech data:
+
+Layouts accepted (auto-detected):
+- LJSpeech style: ``metadata.csv`` lines ``utt_id|transcript`` (or
+  ``utt_id|raw|normalized``) + ``wavs/utt_id.wav`` (or ``utt_id.wav``)
+- paired files: every ``x.wav`` with a sibling ``x.txt`` transcript
+
+Pipeline per utterance:
+- transcript -> frontend (normalize + G2P + IPA) -> token ids
+- wav -> float32 mono at the model sample rate (linear resample if needed)
+- teacher durations: without an external aligner, total frames are
+  distributed uniformly across real tokens (rate-matched teacher). The
+  duration head then learns utterance-level rate while the waveform losses
+  (mel L1 + multi-res STFT, training/step.py) carry the spectral detail.
+- style vector: deterministic per-utterance acoustic summary (pooled
+  log-mel statistics through a fixed random projection) standing in for
+  the StyleTTS2 style encoder, which is out of scope (the inference path
+  takes styles from voice packs, engine/synthesizer.py).
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..audio.mel import mel_spectrogram
+from ..audio.wav import load_wav
+from ..model.vocab import encode as encode_phonemes
+from .step import TrainBatch
+
+logger = logging.getLogger(__name__)
+
+
+def scan_dataset(root: str) -> List[Tuple[str, str]]:
+    """-> [(wav_path, transcript)], auto-detecting the layout."""
+    items: List[Tuple[str, str]] = []
+    meta = os.path.join(root, "metadata.csv")
+    if os.path.exists(meta):
+        with open(meta, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split("|")
+                utt = parts[0].strip()
+                text = parts[-1].strip()  # normalized column if present
+                for cand in (
+                    os.path.join(root, "wavs", f"{utt}.wav"),
+                    os.path.join(root, f"{utt}.wav"),
+                ):
+                    if os.path.exists(cand):
+                        items.append((cand, text))
+                        break
+        return items
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".wav"):
+            continue
+        txt = os.path.join(root, name[:-4] + ".txt")
+        if os.path.exists(txt):
+            with open(txt, encoding="utf-8") as f:
+                items.append((os.path.join(root, name), f.read().strip()))
+    return items
+
+
+def _resample_linear(audio: np.ndarray, src: int, dst: int) -> np.ndarray:
+    if src == dst:
+        return audio
+    n_out = int(round(audio.size * dst / src))
+    x_out = np.linspace(0.0, audio.size - 1, n_out)
+    return np.interp(x_out, np.arange(audio.size), audio).astype(np.float32)
+
+
+def _style_vector(audio: np.ndarray, dim: int, sample_rate: int,
+                  seed: int = 1234) -> np.ndarray:
+    """Deterministic acoustic summary -> [dim] style proxy."""
+    mel = mel_spectrogram(audio, sample_rate=sample_rate)  # [80, F]
+    stats = np.concatenate([mel.mean(axis=1), mel.std(axis=1)])  # [160]
+    rng = np.random.RandomState(seed)  # FIXED projection, not per-call
+    proj = rng.randn(stats.size, dim).astype(np.float32) / np.sqrt(
+        stats.size
+    )
+    vec = stats.astype(np.float32) @ proj
+    return (vec / (np.linalg.norm(vec) + 1e-6)).astype(np.float32)
+
+
+class SpeechDataset:
+    """Materialized utterances ready for batching."""
+
+    def __init__(self, root: str, pipeline=None, sample_rate: int = 24000,
+                 style_dim: int = 256, samples_per_frame: int = 600,
+                 max_items: Optional[int] = None):
+        if pipeline is None:
+            from ..pipeline import TTSPipeline
+
+            pipeline = TTSPipeline.__new__(TTSPipeline)  # frontend only
+            pipeline._init_frontend_only()
+        self.items = []
+        pairs = scan_dataset(root)
+        if max_items:
+            pairs = pairs[:max_items]
+        if not pairs:
+            raise ValueError(f"no (wav, transcript) pairs under {root}")
+        for wav_path, text in pairs:
+            audio, sr = load_wav(wav_path)
+            audio = _resample_linear(
+                np.asarray(audio, np.float32), sr, sample_rate
+            )
+            phonemes = pipeline.phonemes_to_ipa(
+                pipeline.text_to_phonemes(pipeline.preprocess_text(text))
+            )
+            ids = encode_phonemes(phonemes, max_len=512)
+            frames = max(1, audio.size // samples_per_frame)
+            self.items.append({
+                "ids": ids,
+                "audio": audio[: frames * samples_per_frame],
+                "frames": frames,
+                "style": _style_vector(audio, style_dim, sample_rate),
+            })
+        logger.info("dataset: %d utterances from %s", len(self.items), root)
+
+
+def dataset_batches(
+    dataset: SpeechDataset,
+    batch_size: int,
+    tokens: int,
+    frames: int,
+    samples_per_frame: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    vocab_size: Optional[int] = None,
+) -> Iterator[TrainBatch]:
+    """Endless TrainBatch stream at static (tokens, frames) shapes.
+
+    Audio is padded/truncated to the frame budget; teacher durations
+    distribute each utterance's frame count uniformly over its real
+    tokens (see module docstring)."""
+    rng = np.random.RandomState(seed)
+    n = len(dataset.items)
+    order = np.arange(n)
+    pos = n  # trigger reshuffle on first pull
+    while True:
+        ids = np.zeros((batch_size, tokens), np.int32)
+        mask = np.zeros((batch_size, tokens), np.float32)
+        styles = []
+        target_dur = np.zeros((batch_size, tokens), np.float32)
+        target_audio = np.zeros(
+            (batch_size, frames * samples_per_frame), np.float32
+        )
+        for b in range(batch_size):
+            if pos >= n:
+                if shuffle:
+                    rng.shuffle(order)
+                pos = 0
+            item = dataset.items[order[pos]]
+            pos += 1
+            utt_ids = item["ids"][:tokens]
+            ln = len(utt_ids)
+            ids[b, :ln] = utt_ids
+            mask[b, :ln] = 1.0
+            utt_frames = min(item["frames"], frames)
+            target_dur[b, :ln] = utt_frames / max(ln, 1)
+            samples = utt_frames * samples_per_frame
+            target_audio[b, :samples] = item["audio"][:samples]
+            styles.append(item["style"])
+        if vocab_size:
+            # ids beyond the model's vocab read as unk=0 (an OOB
+            # embedding gather is NaN — same guard as the serving path,
+            # engine/synthesizer.py dispatch)
+            np.putmask(ids, ids >= vocab_size, 0)
+        yield TrainBatch(
+            input_ids=jnp.asarray(ids),
+            mask=jnp.asarray(mask),
+            ref_s=jnp.asarray(np.stack(styles)),
+            target_dur=jnp.asarray(target_dur),
+            target_audio=jnp.asarray(target_audio),
+        )

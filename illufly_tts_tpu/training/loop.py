@@ -100,6 +100,9 @@ def train(
     log_every: int = 10,
     seed: int = 0,
     batches: Optional[Iterator[TrainBatch]] = None,
+    data_dir: Optional[str] = None,
+    spectral: Optional[bool] = None,
+    on_metrics=None,
 ):
     """Run ``steps`` optimizer steps; returns (params, opt_state, metrics).
 
@@ -146,10 +149,32 @@ def train(
             logger.info("resumed from %s (step %d)", path, start_step)
 
     if batches is None:
-        batches = synthetic_batches(
-            model, teacher_params, batch_size, tokens, frames, seed=seed
-        )
-    step_fn = jax.jit(make_train_step(model, optimizer, num_frames=frames))
+        if data_dir:
+            # real data: spectral objective by default (waveform L1 is
+            # phase-blind against recordings; see training/step.py)
+            from .data import SpeechDataset, dataset_batches
+
+            dataset = SpeechDataset(
+                data_dir,
+                sample_rate=model.config.sample_rate,
+                style_dim=2 * model.config.style_dim,
+                samples_per_frame=model.config.samples_per_frame,
+            )
+            batches = dataset_batches(
+                dataset, batch_size, tokens, frames,
+                model.config.samples_per_frame, seed=seed,
+                vocab_size=model.config.albert.vocab_size,
+            )
+            if spectral is None:
+                spectral = True
+        else:
+            batches = synthetic_batches(
+                model, teacher_params, batch_size, tokens, frames,
+                seed=seed,
+            )
+    step_fn = jax.jit(make_train_step(
+        model, optimizer, num_frames=frames, spectral=bool(spectral)
+    ))
 
     metrics = {}
     last_saved = -1
@@ -168,6 +193,8 @@ def train(
                 step + 1, m["loss"], m["dur_loss"], m["audio_loss"],
                 (time.perf_counter() - t0) / log_every,
             )
+            if on_metrics is not None:
+                on_metrics(step + 1, m)
             t0 = time.perf_counter()
         if (
             checkpoint_dir

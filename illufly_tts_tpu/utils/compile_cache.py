@@ -23,6 +23,12 @@ def enable_compilation_cache() -> bool:
         return False
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast and CPU executables embed host machine
+        # features (avx512 variants) — reusing them across machines risks
+        # SIGILL and spams cpu_aot_loader warnings. The cache only pays
+        # for itself on the tunneled-TPU compile path.
+        return False
     cache_dir = os.environ.get(
         "TTS_COMPILE_CACHE_DIR",
         os.path.expanduser("~/.cache/illufly_tts_tpu/xla"),
