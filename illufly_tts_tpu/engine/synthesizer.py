@@ -503,6 +503,99 @@ class Synthesizer:
             out.append(clip)
         return out
 
+    # --- intra-utterance streaming decode -------------------------------------
+
+    def _get_stage_prep(self, batch: int, tokens: int, frames: int):
+        key = ("prep", batch, tokens, frames)
+        with self._lock:
+            if key not in self._stage_b:
+                def run(params, ids, mask, d, pred_dur, ref_s):
+                    return self.model.apply(
+                        params, ids, mask, d, pred_dur, ref_s, frames,
+                        method=KokoroModel.decode_prepare,
+                    )
+
+                self._stage_b[key] = jax.jit(run)
+        return self._stage_b[key]
+
+    def _get_stage_window(self, batch: int, window: int, halo: int):
+        key = ("win", batch, window, halo)
+        with self._lock:
+            if key not in self._stage_b:
+                def run(params, x, f0_m, cum_rad, cur_mask, ref_s, start):
+                    return self.model.apply(
+                        params, x, f0_m, cum_rad, cur_mask, ref_s, start,
+                        window, halo, method=KokoroModel.decode_window,
+                    )
+
+                self._stage_b[key] = jax.jit(run)
+        return self._stage_b[key]
+
+    def stream_decode(
+        self,
+        handle: "DispatchHandle",
+        window_frames: int = 64,
+        halo_frames: int = 16,
+    ):
+        """Yield waveform chunks (np float32 [B, <=window*600]) as stage B
+        renders the utterance window by window — first audio arrives after
+        one window (~window_frames/40 s of content) instead of after the
+        full frame budget (VERDICT r2 next-8).
+
+        Uses decode_prepare (sequence-global state once: prosody BiLSTM,
+        decoder trunk, harmonic-source phase) + decode_window (generator
+        per window; ONE compiled program for all positions — start is
+        traced). Consecutive windows overlap by ``halo_frames`` and the
+        seam is equal-power crossfaded (the generator's AdaIN time
+        statistics make windows approximate — see decode_window). The
+        final chunk is trimmed to the batch's fitted frame total."""
+        totals_np = np.asarray(handle.totals)
+        f_bucket = (
+            self.frame_buckets[0] if len(self.frame_buckets) == 1
+            else pick(self.frame_buckets, int(totals_np[: handle.n].max()))
+        )
+        if f_bucket % window_frames:
+            raise ValueError(
+                f"window_frames {window_frames} must divide the frame "
+                f"bucket {f_bucket}"
+            )
+        handle.fitted_totals = np.minimum(totals_np, f_bucket)
+        pred_dur = _fit_durations(handle.pred_dur, f_bucket)
+        prep = self._get_stage_prep(
+            handle.b_bucket, handle.t_bucket, f_bucket
+        )
+        x, f0_m, cum_rad, cur_mask = prep(
+            self.params, handle.ids, handle.mask, handle.d, pred_dur,
+            handle.ref,
+        )
+        win_fn = self._get_stage_window(
+            handle.b_bucket, 2 * window_frames, 2 * halo_frames
+        )
+        spf = self.config.samples_per_frame
+        overlap = 2 * halo_frames * 300  # samples shared by neighbours
+        ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)[None, :]
+        max_total = int(handle.fitted_totals[: handle.n].max())
+        body = window_frames * spf
+        emitted = 0
+        start = 0  # generator-frame (2F) units
+        prev_tail: Optional[np.ndarray] = None
+        while emitted < max_total:
+            audio = win_fn(
+                self.params, x, f0_m, cum_rad, cur_mask, handle.ref,
+                jnp.int32(start),
+            )
+            chunk = np.asarray(audio, np.float32)  # [B, (window+halo)*600]
+            out = chunk[:, :body].copy()
+            if prev_tail is not None:
+                out[:, :overlap] = (
+                    prev_tail * (1.0 - ramp) + out[:, :overlap] * ramp
+                )
+            prev_tail = chunk[:, body: body + overlap]
+            frames_here = min(window_frames, max_total - emitted)
+            yield out[: handle.n, : frames_here * spf]
+            emitted += frames_here
+            start += 2 * window_frames
+
     def synthesize_batch(
         self,
         phonemes_list: Sequence[str],

@@ -103,6 +103,117 @@ class KokoroModel(nn.Module):
             audio = jnp.round(audio * 32767.0).astype(jnp.int16)
         return audio, fmask
 
+    # ---- streaming stage B: prepare once, render windows --------------------
+
+    def decode_prepare(
+        self,
+        input_ids: jnp.ndarray,     # [B, T]
+        mask: jnp.ndarray,          # [B, T]
+        d: jnp.ndarray,             # [B, T, hidden+style] from stage A
+        pred_dur: jnp.ndarray,      # [B, T] int32 frames
+        ref_s: jnp.ndarray,         # [B, 256]
+        num_frames: int,
+    ):
+        """Everything with sequence-global state, at the full frame budget:
+        the prosody BiLSTM (f0n_train), the decoder trunk, and the harmonic
+        source's cumulative phase. Returns generator-rate tensors ready for
+        ``decode_window`` (VERDICT r2 next-8: intra-utterance streaming)."""
+        cfg = self.config
+        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
+        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
+        en = expand_by_duration(d, pred_dur, num_frames)
+        fmask = frame_mask(pred_dur, num_frames)
+        f0, n_energy = self.predictor.f0n_train(en, style, fmask)
+        t_en = self.text_encoder(input_ids, mask)
+        asr = expand_by_duration(t_en, pred_dur, num_frames)
+        x, f0_m, cur_mask = self.decoder.trunk(
+            asr, f0, n_energy, dec_style, fmask
+        )
+        # cumulative source phase (revolutions) at each generator-frame
+        # start: each of the 2F positions spans up_total*hop samples of
+        # constant f0 (vocoder.py Generator f0_up repeat)
+        ist = cfg.istftnet
+        samples_per_in = ist.gen_istft_hop_size
+        for u in ist.upsample_rates:
+            samples_per_in *= u
+        per_pos = f0_m.astype(jnp.float32) * (
+            samples_per_in / cfg.sample_rate
+        )
+        cum_rad = jnp.cumsum(per_pos, axis=-1) - per_pos  # phase BEFORE pos
+        return x, f0_m, cum_rad, cur_mask
+
+    def decode_window(
+        self,
+        x: jnp.ndarray,          # [B, 2F, C] trunk output
+        f0_m: jnp.ndarray,       # [B, 2F]
+        cum_rad: jnp.ndarray,    # [B, 2F]
+        cur_mask: jnp.ndarray,   # [B, 2F]
+        ref_s: jnp.ndarray,      # [B, 256]
+        start: jnp.ndarray,      # scalar int32, generator-frame units (2F)
+        window: int,             # static, generator-frame units
+        halo: int,               # static, generator-frame units
+        pcm16: bool = False,
+    ) -> jnp.ndarray:
+        """Render generator frames [start, start+window+halo) with ``halo``
+        context on each side (the right halo is RETURNED: consecutive
+        windows overlap by halo frames so the caller can crossfade the
+        seam). One compiled program serves every window position (start is
+        a traced scalar).
+
+        Exactness note: the generator's AdaIN layers are instance norms
+        over TIME (layers.py AdaIN1d, mirroring upstream iSTFTNet), so a
+        window's activation statistics differ slightly from the full
+        render's — windowed output is an approximation that converges as
+        windows grow. Phase (cum_rad) and conv context (halo) ARE exact;
+        the overlap crossfade in Synthesizer.stream_decode removes the
+        residual seam."""
+        cfg = self.config
+        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
+        span = window + 2 * halo
+        # no LEFT padding (synthetic pad frames would bias-propagate
+        # through the convs; clamping instead lets the first windows see
+        # the true sequence start, like the full render). The RIGHT gets
+        # `halo` zero frames: they sit past the masked end of the
+        # sequence, exactly where the full render's own SAME-padding
+        # zeros live, so the final window's valid tail matches too.
+        rpad = ((0, 0), (0, halo))
+        x_p = jnp.pad(x, rpad + ((0, 0),))
+        f0_p = jnp.pad(f0_m, rpad)
+        rad_p = jnp.pad(cum_rad, rpad)
+        mask_p = jnp.pad(cur_mask, rpad)
+        total_p = x_p.shape[1]
+        slice_start = jnp.clip(start - halo, 0, total_p - span)
+        x_w = jax.lax.dynamic_slice_in_dim(x_p, slice_start, span, axis=1)
+        f0_w = jax.lax.dynamic_slice_in_dim(f0_p, slice_start, span, axis=1)
+        mask_w = jax.lax.dynamic_slice_in_dim(
+            mask_p, slice_start, span, axis=1
+        )
+        # phase accumulated BEFORE the slice's first position
+        rad0 = jax.lax.dynamic_slice_in_dim(
+            rad_p, slice_start, 1, axis=1
+        )[:, 0]
+        audio = self.decoder.generate(
+            x_w, dec_style, f0_w, mask_w, rng=None, rad_offset=rad0,
+        )
+        ist = cfg.istftnet
+        samples_per_in = ist.gen_istft_hop_size
+        for u in ist.upsample_rates:
+            samples_per_in *= u
+        lo = (start - slice_start) * samples_per_in
+        emit = window + halo  # window body + right-overlap for crossfade
+        audio = jax.lax.dynamic_slice_in_dim(
+            audio, lo, emit * samples_per_in, axis=1
+        )
+        sample_mask = jnp.repeat(
+            jax.lax.dynamic_slice_in_dim(mask_p, start, emit, axis=1),
+            samples_per_in, axis=1,
+        )
+        audio = audio * sample_mask
+        if pcm16:
+            audio = jnp.clip(audio, -1.0, 1.0)
+            audio = jnp.round(audio * 32767.0).astype(jnp.int16)
+        return audio
+
     # ---- combined (training / compile checks) -------------------------------
 
     def __call__(

@@ -40,13 +40,20 @@ class SourceModule(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f0_up, rng: Optional[jax.Array] = None):
-        """f0_up [B, L] (Hz per sample) -> harmonic source [B, L]."""
+    def __call__(self, f0_up, rng: Optional[jax.Array] = None,
+                 rad_offset: Optional[jnp.ndarray] = None):
+        """f0_up [B, L] (Hz per sample) -> harmonic source [B, L].
+
+        ``rad_offset`` [B]: accumulated phase (in revolutions) BEFORE this
+        window — makes windowed streaming decode phase-continuous with the
+        full render (the cumsum below is otherwise global state)."""
         h = jnp.arange(1, self.harmonics + 2, dtype=jnp.float32)  # [H]
         # phase accumulates in f32: cumsum of instantaneous frequency
         rad = jnp.cumsum(
             f0_up.astype(jnp.float32) / self.sample_rate, axis=-1
         )
+        if rad_offset is not None:
+            rad = rad + rad_offset.astype(jnp.float32)[:, None]
         phase = 2.0 * math.pi * rad[..., None] * h[None, None, :]
         uv = (f0_up > self.voiced_threshold).astype(jnp.float32)[..., None]
         sines = self.sine_amp * jnp.sin(phase) * uv
@@ -64,8 +71,11 @@ class Generator(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, s, f0, mask=None, rng=None):
-        """x [B,2F,C0], s [B,S], f0 [B,2F] -> audio [B, 2F*300]."""
+    def __call__(self, x, s, f0, mask=None, rng=None, rad_offset=None):
+        """x [B,2F,C0], s [B,S], f0 [B,2F] -> audio [B, 2F*300].
+
+        ``rad_offset`` [B]: see SourceModule — phase continuity for
+        windowed streaming decode."""
         cfg = self.config.istftnet
         n_fft, hop = cfg.gen_istft_n_fft, cfg.gen_istft_hop_size
         up_total = 1
@@ -81,7 +91,7 @@ class Generator(nn.Module):
         f0_up = jnp.repeat(f0, samples_per_in, axis=1)        # [B, L]
         har = SourceModule(
             self.config.sample_rate, name="source", dtype=self.dtype
-        )(f0_up, rng)
+        )(f0_up, rng, rad_offset)
         # pad so har frame count == x length * up_total
         har = jnp.pad(har, ((0, 0), (0, n_fft - hop)), mode="reflect")
         mag_h, ph_h = stft_magphase(har.astype(jnp.float32), n_fft, hop)
@@ -150,45 +160,71 @@ class Generator(nn.Module):
 
 
 class Decoder(nn.Module):
+    """Trunk (frame-rate AdaIN conv stack) + Generator.
+
+    setup-style (not compact) so the two halves are separately callable:
+    streaming decode runs ``trunk`` once at the full frame budget, then
+    ``generate`` per window (convolutions are local; the harmonic source's
+    global phase is threaded through ``rad_offset``). Submodule names are
+    identical to the original compact layout, so converted checkpoints and
+    the torch-twin parity suite are unaffected."""
+
     config: KokoroConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, asr, f0_curve, n_curve, s, frame_mask=None, rng=None):
-        """asr [B,F,hidden], f0/n [B,2F], s [B,style] -> audio [B, F*600]."""
+    _SPECS = ((1024 + 2 + 64, 1024, False),) * 3 + ((1024 + 2 + 64, 512, True),)
+
+    def setup(self):
         cfg = self.config
+        self.f0_conv = Conv1d(1, kernel=3, stride=2, name="f0_conv",
+                              dtype=self.dtype)
+        self.n_conv = Conv1d(1, kernel=3, stride=2, name="n_conv",
+                             dtype=self.dtype)
+        self.encode = AdainResBlk1d(
+            cfg.hidden_dim + 2, 1024, cfg.style_dim, name="encode",
+            dtype=self.dtype,
+        )
+        self.asr_res = Conv1d(64, kernel=1, name="asr_res", dtype=self.dtype)
+        self.decode_blocks = [
+            AdainResBlk1d(
+                dim_in, dim_out, cfg.style_dim, upsample=upsample,
+                name=f"decode_{i}", dtype=self.dtype,
+            )
+            for i, (dim_in, dim_out, upsample) in enumerate(self._SPECS)
+        ]
+        self.generator = Generator(cfg, name="generator", dtype=self.dtype)
+
+    def trunk(self, asr, f0_curve, n_curve, s, frame_mask=None):
+        """-> (x [B,2F,512], f0_curve_masked [B,2F], cur_mask [B,2F])."""
         if frame_mask is not None:
             mask2 = jnp.repeat(frame_mask, 2, axis=1).astype(f0_curve.dtype)
             f0_curve = f0_curve * mask2
             n_curve = n_curve * mask2
-        f0 = Conv1d(1, kernel=3, stride=2, name="f0_conv", dtype=self.dtype)(
-            f0_curve[..., None]
-        )
-        n = Conv1d(1, kernel=3, stride=2, name="n_conv", dtype=self.dtype)(
-            n_curve[..., None]
-        )
+        f0 = self.f0_conv(f0_curve[..., None])
+        n = self.n_conv(n_curve[..., None])
         x = jnp.concatenate([asr, f0, n], axis=-1)
-        x = AdainResBlk1d(
-            cfg.hidden_dim + 2, 1024, cfg.style_dim, name="encode",
-            dtype=self.dtype,
-        )(x, s, frame_mask)
-        asr_res = Conv1d(64, kernel=1, name="asr_res", dtype=self.dtype)(asr)
+        x = self.encode(x, s, frame_mask)
+        asr_res = self.asr_res(asr)
 
         residual = True
-        specs = [(1024 + 2 + 64, 1024, False)] * 3 + [(1024 + 2 + 64, 512, True)]
         cur_mask = frame_mask
-        for i, (dim_in, dim_out, upsample) in enumerate(specs):
+        for block, (_, _, upsample) in zip(self.decode_blocks, self._SPECS):
             if residual:
                 x = jnp.concatenate([x, asr_res, f0, n], axis=-1)
-            x = AdainResBlk1d(
-                dim_in, dim_out, cfg.style_dim, upsample=upsample,
-                name=f"decode_{i}", dtype=self.dtype,
-            )(x, s, cur_mask)
+            x = block(x, s, cur_mask)
             if upsample:
                 residual = False
                 if cur_mask is not None:
                     cur_mask = jnp.repeat(cur_mask, 2, axis=1)
+        return x, f0_curve, cur_mask
 
-        return Generator(cfg, name="generator", dtype=self.dtype)(
-            x, s, f0_curve, cur_mask, rng
+    def generate(self, x, s, f0_curve, cur_mask=None, rng=None,
+                 rad_offset=None):
+        return self.generator(x, s, f0_curve, cur_mask, rng, rad_offset)
+
+    def __call__(self, asr, f0_curve, n_curve, s, frame_mask=None, rng=None):
+        """asr [B,F,hidden], f0/n [B,2F], s [B,style] -> audio [B, F*600]."""
+        x, f0_curve, cur_mask = self.trunk(
+            asr, f0_curve, n_curve, s, frame_mask
         )
+        return self.generate(x, s, f0_curve, cur_mask, rng)

@@ -296,6 +296,39 @@ class TTSPipeline:
             save_wav(output_path, audio, self.sample_rate)
         return audio
 
+    def stream_process(
+        self,
+        text: str,
+        voice_id: str = "zf_001",
+        speed: float = 1.0,
+        window_frames: int = 64,
+        halo_frames: int = 16,
+    ):
+        """Yield waveform chunks for ONE utterance as the decoder renders
+        it window by window (intra-utterance streaming, one level deeper
+        than the reference's chunk-synchronous stream_batch_process,
+        reference pipeline.py:616-663). First audio arrives after one
+        window (~window_frames/40 s of content) instead of the full
+        utterance. Chunks crossfade at window seams
+        (engine/synthesizer.py stream_decode)."""
+        normalized = self.preprocess_text(text)
+        ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
+        ipa = ipa[:MAX_PHONEMES]
+        handle = self.synthesizer.dispatch([ipa], [voice_id], [speed])
+        total = None
+        emitted = 0
+        for chunk in self.synthesizer.stream_decode(
+            handle, window_frames=window_frames, halo_frames=halo_frames
+        ):
+            if total is None:
+                total = int(handle.fitted_totals[0]) * (
+                    self.synthesizer.config.samples_per_frame
+                )
+            take = min(chunk.shape[1], max(total - emitted, 0))
+            if take > 0:
+                yield chunk[0, :take]
+            emitted += chunk.shape[1]
+
     def batch_process(
         self,
         texts: Sequence[str],
