@@ -248,6 +248,16 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     b1_latency = min(lat)
 
+    # ---- time-to-first-audio: intra-utterance streaming at batch 1 -----------
+    log("TTFA: streaming decode (64-frame windows)...")
+    def first_chunk_time():
+        handle = synth.dispatch([text], ["bench_voice"])
+        t0 = time.perf_counter()
+        next(synth.stream_decode(handle, window_frames=64, halo_frames=16))
+        return time.perf_counter() - t0
+    first_chunk_time()  # compile prep+window programs
+    ttfa = min(first_chunk_time() for _ in range(3))
+
     result = {
         "metric": "audio_sec_per_sec_per_chip_b32",
         "value": round(throughput, 2),
@@ -258,6 +268,7 @@ def main() -> None:
             "multibucket_x_realtime": round(mb_throughput, 2),
             "e2e_x_realtime": round(e2e_throughput, 2),
             "batch1_latency_s": round(b1_latency, 3),
+            "ttfa_stream_s": round(ttfa, 3),
             "cold_start_s": round(cold_start, 1),
             "roofline": roofline,
             "batch": batch,
