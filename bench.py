@@ -112,7 +112,6 @@ def main() -> None:
 
     from illufly_tts_tpu.engine.synthesizer import Synthesizer
     from illufly_tts_tpu.model.config import KokoroConfig
-    from illufly_tts_tpu.model.kokoro import _fit_durations
 
     batch = 32
     tokens = 256
@@ -155,14 +154,13 @@ def main() -> None:
     stage_a = synth._stage_a[(batch, tokens)]
     stage_b = synth._stage_b[(batch, tokens, frames, True)]
     handle = synth.dispatch(texts, voices)
-    pred_fit = _fit_durations(handle.pred_dur, frames)
     args_a = (
         synth.params, handle.ids, handle.mask, handle.ref,
         jnp.ones((handle.b_bucket,), jnp.float32),
     )
     args_b = (
-        synth.params, handle.ids, handle.mask, handle.d, pred_fit,
-        handle.ref,
+        synth.params, handle.ids, handle.mask, handle.d,
+        handle.pred_dur, handle.ref,
     )
     t_a = time_stage(jax, stage_a, args_a)
     t_b = time_stage(jax, stage_b, args_b)

@@ -136,8 +136,12 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
               help="custom en dict (text lines or misaki-format JSON)")
 @click.option("--segment/--no-segment", default=False,
               help="split long text into sentence segments")
+@click.option("--stream", is_flag=True,
+              help="intra-utterance streaming decode: write audio chunks "
+                   "to the wav as the decoder renders them (first audio "
+                   "lands after one window, not the full utterance)")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          zh_dict, en_dict, segment):
+          zh_dict, en_dict, segment, stream):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
     if zh_dict:
@@ -156,8 +160,29 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
             "voice %s not found; using a synthetic random voice", voice_id
         )
         pipe.synthesizer.register_random_voice(voice_id, seed=42)
-    audio = pipe.process(text, voice_id=voice_id, speed=speed,
-                         output_path=output, segment_text=segment)
+    if stream:
+        import time as _time
+
+        import numpy as np
+
+        from .audio.wav import save_wav
+
+        chunks = []
+        t0 = _time.perf_counter()
+        ttfa = None
+        for chunk in pipe.stream_process(text, voice_id=voice_id,
+                                         speed=speed):
+            if ttfa is None:
+                ttfa = _time.perf_counter() - t0
+                click.echo(f"first audio after {ttfa:.3f}s")
+            chunks.append(chunk)
+        audio = np.concatenate(chunks) if chunks else np.zeros(
+            0, np.float32
+        )
+        save_wav(output, audio, pipe.sample_rate)
+    else:
+        audio = pipe.process(text, voice_id=voice_id, speed=speed,
+                             output_path=output, segment_text=segment)
     click.echo(
         f"wrote {output}: {audio.size / pipe.sample_rate:.2f}s at "
         f"{pipe.sample_rate} Hz"

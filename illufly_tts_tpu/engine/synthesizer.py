@@ -264,18 +264,29 @@ class Synthesizer:
     # --- compiled stages -------------------------------------------------------
 
     def _stage_a_fn(self):
+        """Stage A returns quantized durations and their totals IN the
+        compiled program: every eager jnp op outside jit is a separate
+        tiny XLA program, and through this environment's remote compile
+        tunnel a fresh process paid tens of seconds PER OP for them
+        (measured: a "warm" first call cost minutes in eager round/clip/
+        sum dispatches alone)."""
         def run(params, ids, mask, ref_s, speed):
-            return self.model.apply(
+            duration, d = self.model.apply(
                 params, ids, mask, ref_s, speed,
                 method=KokoroModel.encode_durations,
             )
+            pred_dur = KokoroModel.quantize_durations(duration, mask)
+            totals = pred_dur.sum(axis=-1)
+            return d, pred_dur, totals
 
         return jax.jit(run)
 
     def _stage_b_fn(self, frames: int, pcm16: bool):
         def run(params, ids, mask, d, pred_dur, ref_s):
+            # duration fit lives inside the program (see _stage_a_fn)
+            fitted = _fit_durations(pred_dur, frames)
             return self.model.apply(
-                params, ids, mask, d, pred_dur, ref_s, frames,
+                params, ids, mask, d, fitted, ref_s, frames,
                 pcm16=pcm16, method=KokoroModel.decode_frames,
             )
 
@@ -314,7 +325,7 @@ class Synthesizer:
             batch, tokens
         )
         a_fn = self._stage_a_fn()
-        _, d_s = jax.eval_shape(
+        d_s, _, _ = jax.eval_shape(
             a_fn, params_s, ids_s, mask_s, ref_s,
             jax.ShapeDtypeStruct((batch,), f32),
         )
@@ -351,20 +362,24 @@ class Synthesizer:
 
     def compile_stage_b(self, batch: int, tokens: int, frames: int,
                         pcm16: bool = True) -> float:
-        """See compile_stage_a: warm through the serving jit path."""
+        """See compile_stage_a: warm through the serving jit path.
+
+        The d/pred_dur inputs come from an ACTUAL stage-A execution:
+        stage-A outputs are device-committed arrays, and jit keys on
+        input shardings — warming with uncommitted jnp.zeros compiled a
+        different program than the serving call uses (measured: 6.8 s
+        "warm" stage B followed by a 110 s launch_decode recompile)."""
         import time
 
         t0 = time.perf_counter()
         fn = self._get_stage_b(batch, tokens, frames, pcm16)
+        a_fn = self._get_stage_a(batch, tokens)
         ids = jnp.zeros((batch, tokens), jnp.int32)
         mask = jnp.ones((batch, tokens), jnp.float32)
         ref = jnp.zeros((batch, 2 * self.config.style_dim), jnp.float32)
-        _, d_s = jax.eval_shape(
-            self._stage_a_fn(), *self._stage_a_arg_structs(batch, tokens)
-        )
-        d = jnp.zeros(d_s.shape, d_s.dtype)
-        pred = jnp.ones((batch, tokens), jnp.int32)
-        out = fn(self.params, ids, mask, d, pred, ref)
+        speed = jnp.ones((batch,), jnp.float32)
+        d, pred_dur, _ = a_fn(self.params, ids, mask, ref, speed)
+        out = fn(self.params, ids, mask, d, pred_dur, ref)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         logger.info(
@@ -458,11 +473,9 @@ class Synthesizer:
         mask_d = put(mask)
         ref_d = put(ref_s)
         stage_a = self._get_stage_a(b_bucket, t_bucket)
-        duration, d = stage_a(
+        d, pred_dur, totals = stage_a(
             self.params, ids_d, mask_d, ref_d, put(speed_arr)
         )
-        pred_dur = KokoroModel.quantize_durations(duration, mask_d)
-        totals = pred_dur.sum(axis=-1)  # [B] int32, on device
         try:
             totals.copy_to_host_async()
         except AttributeError:  # older jax.Array surface
@@ -484,17 +497,16 @@ class Synthesizer:
             f_bucket = pick(
                 self.frame_buckets, int(totals_np[: handle.n].max())
             )
-        # _fit_durations clips per-token durations so the cumulative frame
-        # count fits the budget; the fitted per-item total is therefore
-        # exactly min(total, budget) — computable on host with no extra sync
+        # stage B fits durations to the budget inside the program; the
+        # fitted per-item total is exactly min(total, budget) — computable
+        # on host with no extra sync
         handle.fitted_totals = np.minimum(totals_np, f_bucket)
-        pred_dur = _fit_durations(handle.pred_dur, f_bucket)
         stage_b = self._get_stage_b(
             handle.b_bucket, handle.t_bucket, f_bucket, pcm16=True
         )
         audio, _ = stage_b(
-            self.params, handle.ids, handle.mask, handle.d, pred_dur,
-            handle.ref,
+            self.params, handle.ids, handle.mask, handle.d,
+            handle.pred_dur, handle.ref,
         )
         handle.f_bucket = f_bucket
         handle.audio = audio
@@ -523,8 +535,9 @@ class Synthesizer:
         with self._lock:
             if key not in self._stage_b:
                 def run(params, ids, mask, d, pred_dur, ref_s):
+                    fitted = _fit_durations(pred_dur, frames)
                     return self.model.apply(
-                        params, ids, mask, d, pred_dur, ref_s, frames,
+                        params, ids, mask, d, fitted, ref_s, frames,
                         method=KokoroModel.decode_prepare,
                     )
 
@@ -573,13 +586,12 @@ class Synthesizer:
                 f"bucket {f_bucket}"
             )
         handle.fitted_totals = np.minimum(totals_np, f_bucket)
-        pred_dur = _fit_durations(handle.pred_dur, f_bucket)
         prep = self._get_stage_prep(
             handle.b_bucket, handle.t_bucket, f_bucket
         )
         x, f0_m, cum_rad, cur_mask = prep(
-            self.params, handle.ids, handle.mask, handle.d, pred_dur,
-            handle.ref,
+            self.params, handle.ids, handle.mask, handle.d,
+            handle.pred_dur, handle.ref,
         )
         win_fn = self._get_stage_window(
             handle.b_bucket, 2 * window_frames, 2 * halo_frames
@@ -675,19 +687,25 @@ class Synthesizer:
                     )
             return time.perf_counter() - t0
         frames = tuple(frame_sizes or self.frame_buckets)
-        jobs = []
+        n_jobs = 0
         with ThreadPoolExecutor(max_workers=max(parallel, 1)) as pool:
-            for b in batch_sizes:
-                for t in token_sizes:
-                    jobs.append(pool.submit(self.compile_stage_a, b, t))
-                    for f in frames:
-                        jobs.append(
-                            pool.submit(self.compile_stage_b, b, t, f)
-                        )
-            for job in jobs:
+            # stage A first (stage-B warmup executes stage A for real
+            # committed inputs), then all stage-B combos in parallel
+            a_jobs = [
+                pool.submit(self.compile_stage_a, b, t)
+                for b in batch_sizes for t in token_sizes
+            ]
+            for job in a_jobs:
                 job.result()
+            b_jobs = [
+                pool.submit(self.compile_stage_b, b, t, f)
+                for b in batch_sizes for t in token_sizes for f in frames
+            ]
+            for job in b_jobs:
+                job.result()
+            n_jobs = len(a_jobs) + len(b_jobs)
         dt = time.perf_counter() - t0
         logger.info(
-            "warmup: %d executables ready in %.1fs", len(jobs), dt
+            "warmup: %d executables ready in %.1fs", n_jobs, dt
         )
         return dt

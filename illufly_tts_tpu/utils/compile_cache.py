@@ -36,7 +36,11 @@ def enable_compilation_cache() -> bool:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # cache EVERYTHING: through the remote tunnel even trivial ops can
+        # take tens of seconds to compile when the compile service is
+        # loaded (measured: a fresh process's eager-op warmup alone cost
+        # minutes), and tiny cache entries deserialize in milliseconds
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         _enabled = True
         logger.info("XLA compilation cache: %s", cache_dir)
     except Exception as exc:
