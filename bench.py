@@ -138,9 +138,16 @@ def main() -> None:
         frame_sizes=(frames,),
     )
     log(f"cold start (all executables ready) {cold_start:.1f}s")
+    # the remote tunnel leaves a background queue after a warmup burst;
+    # one throwaway call absorbs it (Synthesizer.absorb_drain docstring).
+    # Reported separately so cold_start_s stays the compile cost and
+    # first_call_s the steady-state serving cost.
+    drain = synth.absorb_drain(batch=batch, tokens=tokens)
+    log(f"tunnel drain absorbed in {drain:.1f}s")
     t0 = time.perf_counter()
     synth.synthesize_batch(texts, voices)
-    log(f"first call took {time.perf_counter() - t0:.2f}s")
+    first_call = time.perf_counter() - t0
+    log(f"first call took {first_call:.2f}s")
 
     log("scenario 1: pinned bucket, pipelined...")
     audio_sec, elapsed = pipelined_throughput(
@@ -268,6 +275,8 @@ def main() -> None:
             "batch1_latency_s": round(b1_latency, 3),
             "ttfa_stream_s": round(ttfa, 3),
             "cold_start_s": round(cold_start, 1),
+            "drain_s": round(drain, 1),
+            "first_call_s": round(first_call, 2),
             "roofline": roofline,
             "batch": batch,
             "frame_bucket": frames,

@@ -134,7 +134,10 @@ def create_app(
             )
             if callable(warmup):
                 logger.info("warming compiled bucket inventory...")
-                await asyncio.to_thread(warmup)
+                # absorb=True: one throwaway call after the compiles so
+                # the remote tunnel's post-warmup background queue drains
+                # before traffic arrives (Synthesizer.absorb_drain)
+                await asyncio.to_thread(lambda: warmup(absorb=True))
                 logger.info("warmup complete")
         await manager.start()
         app["service_manager"] = manager

@@ -185,3 +185,18 @@ def test_split_phase_dispatch_api(synth):
     for a, b in zip(staged, oneshot):
         assert a.size == b.size
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_absorb_drain(synth):
+    """absorb_drain runs one throwaway serving call against the warmed
+    inventory (remote-tunnel queue absorber; round-3 cold-start work),
+    leaves no temp voice behind, and returns a duration."""
+    voices_before = set(synth.list_voices())
+    dt = synth.absorb_drain()
+    assert isinstance(dt, float) and dt >= 0.0
+    assert set(synth.list_voices()) == voices_before
+    assert "__drain__" not in synth._voices
+    # warmup(absorb=True) records the drain on the instance
+    synth.warmup(batch_sizes=(1,), token_sizes=(16,),
+                 frame_sizes=(32,), absorb=True)
+    assert synth.last_drain_s is not None and synth.last_drain_s >= 0.0
