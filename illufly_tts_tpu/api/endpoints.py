@@ -134,10 +134,21 @@ def create_app(
             )
             if callable(warmup):
                 logger.info("warming compiled bucket inventory...")
-                # absorb=True: one throwaway call after the compiles so
-                # the remote tunnel's post-warmup background queue drains
-                # before traffic arrives (Synthesizer.absorb_drain)
-                await asyncio.to_thread(lambda: warmup(absorb=True))
+                # warm only the buckets this server actually dispatches:
+                # batch 1 + the configured batch size, the chunk_size
+                # token regime, and the two common frame buckets — a
+                # slimmer inventory both compiles faster and leaves a
+                # smaller remote-tunnel drain. absorb=True runs one
+                # throwaway call after the compiles so that drain
+                # completes before traffic arrives (absorb_drain)
+                await asyncio.to_thread(
+                    lambda: warmup(
+                        batch_sizes=tuple(sorted({1, batch_size})),
+                        token_sizes=(64, 256),
+                        frame_sizes=(256, 512),
+                        absorb=True,
+                    )
+                )
                 logger.info("warmup complete")
         await manager.start()
         app["service_manager"] = manager

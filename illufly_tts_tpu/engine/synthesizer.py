@@ -94,6 +94,9 @@ class Synthesizer:
         self._stage_a = {}
         self._stage_b = {}
         self.last_drain_s: Optional[float] = None
+        # eagerly stream decoded PCM to host as soon as stage B finishes
+        # (launch_decode) instead of on collect(); measured A/B below
+        self.async_audio_copy = True
 
         if params is None:
             logger.info("initializing random model parameters (no checkpoint)")
@@ -511,6 +514,16 @@ class Synthesizer:
         )
         handle.f_bucket = f_bucket
         handle.audio = audio
+        # start the device->host PCM copy now (b32/F512 is ~20 MB of int16
+        # — a substantial slice of the per-batch wall time through the
+        # tunnel): the copy queues behind the just-launched stage B and
+        # overlaps the NEXT batch's compute, so collect() finds the bytes
+        # already on host instead of paying the transfer synchronously
+        if self.async_audio_copy:
+            try:
+                audio.copy_to_host_async()
+            except AttributeError:  # older jax.Array surface
+                pass
         # stage-A intermediates are no longer needed; let the device free them
         handle.d = handle.pred_dur = None
         return handle
@@ -653,7 +666,11 @@ class Synthesizer:
             for s in range(0, n, max_b)
         ]
         out: List[np.ndarray] = []
-        for h in handles:
+        for i, h in enumerate(handles):
+            # two decodes in flight: chunk i+1's stage B computes while
+            # chunk i's PCM streams to host (see bench pipelined loop)
+            for nxt in handles[i:i + 2]:
+                self.launch_decode(nxt)
             out.extend(self.collect(h, pcm16=pcm16))
         return out
 

@@ -242,3 +242,34 @@ def test_dev_mode_lowercased_headers(monkeypatch):
         {"x-dev-secret-key": "sk", "x-dev-user": "alice"}, {}, None
     )
     assert user["user_id"] == "alice"
+
+
+async def test_startup_warmup_env(tmp_path):
+    """TTS_WARMUP=1 warms the serving bucket inventory at startup with
+    drain absorption (round-3 cold-start work): slim inventory derived
+    from the configured batch size, absorb=True."""
+    import os
+
+    calls = []
+
+    class WarmupPipeline(FakePipeline):
+        def warmup(self, **kwargs):
+            calls.append(kwargs)
+            return 0.0
+
+    os.environ["TTS_WARMUP"] = "1"
+    try:
+        app = create_app(
+            output_dir=str(tmp_path), pipeline=WarmupPipeline(),
+            batch_size=8, max_wait_time=0.02,
+        )
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        await client.close()
+    finally:
+        os.environ.pop("TTS_WARMUP", None)
+    assert len(calls) == 1
+    kw = calls[0]
+    assert kw["absorb"] is True
+    assert kw["batch_sizes"] == (1, 8)
+    assert set(kw["frame_sizes"]) == {256, 512}
