@@ -48,9 +48,11 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def pipelined_throughput(synth, batches, depth=3):
+def pipelined_throughput(synth, batches, depth=3, fmt="pcm16",
+                         rate=None):
     """Run batches through the split-phase engine with `depth` in flight;
     returns (audio_seconds, elapsed_seconds)."""
+    rate = rate or synth.sample_rate
     start = time.perf_counter()
     total_samples = 0
     in_flight = deque()
@@ -59,7 +61,7 @@ def pipelined_throughput(synth, batches, depth=3):
         nxt = next(it, None)
         if nxt is None:
             break
-        in_flight.append(synth.dispatch(*nxt))
+        in_flight.append(synth.dispatch(*nxt, fmt=fmt))
     done = 0
     while in_flight:
         # keep TWO decodes in flight (launch_decode is idempotent): while
@@ -70,13 +72,13 @@ def pipelined_throughput(synth, batches, depth=3):
             synth.launch_decode(h)
         nxt = next(it, None)
         if nxt is not None:
-            in_flight.append(synth.dispatch(*nxt))
+            in_flight.append(synth.dispatch(*nxt, fmt=fmt))
         out = synth.collect(in_flight.popleft(), pcm16=True)
         total_samples += sum(a.size for a in out)
         done += 1
         log(f"  iter {done}")
     elapsed = time.perf_counter() - start
-    return total_samples / synth.sample_rate, elapsed
+    return total_samples / rate, elapsed
 
 
 def stage_cost(fn, args):
@@ -136,7 +138,7 @@ def main() -> None:
     log("warmup: parallel AOT compile of the serving inventory...")
     cold_start = synth.warmup(
         batch_sizes=(1, batch), token_sizes=(tokens,),
-        frame_sizes=(frames,),
+        frame_sizes=(frames,), formats=("pcm16", "mulaw8k"),
     )
     log(f"cold start (all executables ready) {cold_start:.1f}s")
     # the remote tunnel leaves a background queue after a warmup burst;
@@ -157,10 +159,25 @@ def main() -> None:
     throughput = audio_sec / elapsed
     rtf = elapsed / audio_sec
 
+    # ---- scenario 1b: telephony output (G.711 mu-law @8 kHz on device) -------
+    # the pinned loop is transfer-bound (~20 MB int16 PCM per batch);
+    # mulaw8k moves 6x fewer bytes, so this shows the compute-bound
+    # ceiling once the link stops being the limit (audio/telephony.py)
+    log("scenario 1b: mulaw8k (on-device 8 kHz G.711)...")
+    from illufly_tts_tpu.audio.telephony import TELEPHONY_RATE
+
+    synth.synthesize_batch(texts, voices, fmt="mulaw8k")  # steady-state entry
+    audio_ml, elapsed_ml = pipelined_throughput(
+        synth, [(texts, voices)] * iters, fmt="mulaw8k",
+        rate=TELEPHONY_RATE,
+    )
+    mulaw_throughput = audio_ml / elapsed_ml
+    log(f"mulaw8k: {mulaw_throughput:.1f}x realtime")
+
     # ---- roofline: per-stage cost analysis + measured times ------------------
     log("roofline: timing stages in isolation...")
     stage_a = synth._stage_a[(batch, tokens)]
-    stage_b = synth._stage_b[(batch, tokens, frames, True)]
+    stage_b = synth._stage_b[(batch, tokens, frames, "pcm16")]
     handle = synth.dispatch(texts, voices)
     args_a = (
         synth.params, handle.ids, handle.mask, handle.ref,
@@ -272,6 +289,7 @@ def main() -> None:
         "detail": {
             "rtf": round(rtf, 6),
             "multibucket_x_realtime": round(mb_throughput, 2),
+            "mulaw8k_x_realtime": round(mulaw_throughput, 2),
             "e2e_x_realtime": round(e2e_throughput, 2),
             "batch1_latency_s": round(b1_latency, 3),
             "ttfa_stream_s": round(ttfa, 3),

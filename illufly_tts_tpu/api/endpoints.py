@@ -48,10 +48,11 @@ async def _process_tts_request(
     user_id: Optional[str],
     sequence_id: Optional[float],
     speed: float = 1.0,
+    output_format: str = "f32",
 ) -> Dict[str, Any]:
     task_id = await manager.submit_task(
         text=text, voice_id=voice_id, speed=speed, user_id=user_id,
-        sequence_id=sequence_id,
+        sequence_id=sequence_id, output_format=output_format,
     )
     while True:
         status = await manager.get_task_status(task_id)
@@ -68,14 +69,19 @@ async def _process_tts_request(
     if not task.audio_chunks:
         return {"status": "error", "task_id": task_id,
                 "error": "no audio generated"}
-    wav_bytes = encode_wav(
-        task.audio_chunks[0], manager.pipeline.sample_rate
-    )
+    rate = manager.pipeline.output_rate(task.output_format)
+    if task.output_format == "mulaw8k":
+        from ..audio.wav import encode_wav_mulaw
+
+        wav_bytes = encode_wav_mulaw(task.audio_chunks[0], rate)
+    else:
+        wav_bytes = encode_wav(task.audio_chunks[0], rate)
     return {
         "status": "success",
         "task_id": task_id,
         "audio_base64": base64.b64encode(wav_bytes).decode("ascii"),
-        "sample_rate": manager.pipeline.sample_rate,
+        "sample_rate": rate,
+        "format": "mulaw" if task.output_format == "mulaw8k" else "pcm16",
         "created_at": status["created_at"],
         "completed_at": status["completed_at"],
     }
@@ -175,6 +181,15 @@ def create_app(
         speed = float(body.get("speed", 1.0))
         sequence_id = body.get("sequence_id")
         cancel_pending = bool(body.get("cancel_pending", False))
+        # 'wav' (24 kHz 16-bit PCM, default) or 'mulaw8k' (G.711 @8 kHz,
+        # telephony: 6x smaller payloads, same WAV container, format 7)
+        fmt_req = body.get("format", "wav")
+        fmt_map = {"wav": "f32", "pcm16": "f32", "mulaw8k": "mulaw8k"}
+        if fmt_req not in fmt_map:
+            raise web.HTTPBadRequest(
+                reason=f"unknown format {fmt_req!r}; use wav|mulaw8k"
+            )
+        output_format = fmt_map[fmt_req]
 
         manager: TTSServiceManager = request.app["service_manager"]
         user_id = user.get("user_id")
@@ -182,7 +197,8 @@ def create_app(
             canceled = await manager.cancel_user_pending_tasks(user_id)
             logger.info("canceled %d pending tasks for %s", canceled, user_id)
         result = await _process_tts_request(
-            manager, text, voice_id, user_id, sequence_id, speed
+            manager, text, voice_id, user_id, sequence_id, speed,
+            output_format,
         )
         if result["status"] == "error":
             raise web.HTTPBadRequest(reason=result["error"])

@@ -38,7 +38,49 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
         f.write(encode_wav(audio, sample_rate))
 
 
+def encode_wav_mulaw(mulaw: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """uint8 G.711 mu-law bytes -> WAV (format 7). The stdlib ``wave``
+    module only writes format 1 (PCM), so the RIFF header is hand-rolled;
+    format 7 requires the fact chunk and cbSize=0 extension field."""
+    data = np.ascontiguousarray(mulaw, dtype=np.uint8).tobytes()
+    n = len(data)
+    fmt = struct.pack(
+        "<HHIIHHH", 7, 1, sample_rate, sample_rate, 1, 8, 0
+    )  # wFormatTag=7 (mu-law), mono, 1 byte/sample, cbSize=0
+    fact = struct.pack("<I", n)
+    pad = b"\x00" if n % 2 else b""
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", n) + data + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_mulaw(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a format-7 (mu-law) RIFF by chunk walk; stdlib wave
+    rejects non-PCM formats."""
+    from .telephony import mulaw_decode_np
+
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    pos, rate, payload = 12, 8000, b""
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        size = struct.unpack("<I", data[pos + 4:pos + 8])[0]
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            rate = struct.unpack("<I", body[4:8])[0]
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size % 2)
+    return mulaw_decode_np(np.frombuffer(payload, np.uint8)), rate
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    # format tag lives at offset 20 in the canonical layout; 7 = mu-law
+    if len(data) > 22 and data[12:16] == b"fmt " and data[20:22] == b"\x07\x00":
+        return _decode_wav_mulaw(data)
     with wave.open(io.BytesIO(data), "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()

@@ -39,10 +39,11 @@ class DispatchHandle:
     __slots__ = (
         "n", "b_bucket", "t_bucket", "ids", "mask", "ref", "d",
         "pred_dur", "totals", "f_bucket", "audio", "fitted_totals",
+        "fmt",
     )
 
     def __init__(self, n, b_bucket, t_bucket, ids, mask, ref, d,
-                 pred_dur, totals):
+                 pred_dur, totals, fmt="pcm16"):
         self.n = n
         self.b_bucket = b_bucket
         self.t_bucket = t_bucket
@@ -55,6 +56,7 @@ class DispatchHandle:
         self.f_bucket = None
         self.audio = None
         self.fitted_totals = None
+        self.fmt = fmt
 
 
 class Synthesizer:
@@ -94,6 +96,11 @@ class Synthesizer:
         self._stage_a = {}
         self._stage_b = {}
         self.last_drain_s: Optional[float] = None
+        from ..audio.telephony import design_decimation_fir
+
+        # decimation FIR for the mulaw8k output format (fused into the
+        # stage-B program; one [73] f32 constant)
+        self._fir_taps = design_decimation_fir()
         # eagerly stream decoded PCM to host as soon as stage B finishes
         # (launch_decode) instead of on collect(); measured A/B below
         self.async_audio_copy = True
@@ -285,13 +292,38 @@ class Synthesizer:
 
         return jax.jit(run)
 
-    def _stage_b_fn(self, frames: int, pcm16: bool):
+    def _stage_b_fn(self, frames: int, fmt: str):
+        """fmt: 'f32' (raw float32 @24k), 'pcm16' (int16 @24k, halves the
+        host transfer), or 'mulaw8k' (uint8 G.711 mu-law @8k — 12x less
+        transfer than f32; the decimating FIR + companding fuse into the
+        decode program, audio/telephony.py)."""
+        if fmt == "mulaw8k":
+            from ..audio.telephony import mulaw_encode, resample_to_8k
+
+            taps = self._fir_taps
+
+            def run_mulaw(params, ids, mask, d, pred_dur, ref_s):
+                fitted = _fit_durations(pred_dur, frames)
+                audio, fmask = self.model.apply(
+                    params, ids, mask, d, fitted, ref_s, frames,
+                    pcm16=False, method=KokoroModel.decode_frames,
+                )
+                # same peak policy as the pcm16 path (decode_frames)
+                peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
+                scale = jnp.where(
+                    peak > 1.0, 1.0 / jnp.maximum(peak, 1e-9), 1.0
+                )
+                audio = jnp.clip(audio * scale, -1.0, 1.0)
+                return mulaw_encode(resample_to_8k(audio, taps)), fmask
+
+            return jax.jit(run_mulaw)
+
         def run(params, ids, mask, d, pred_dur, ref_s):
             # duration fit lives inside the program (see _stage_a_fn)
             fitted = _fit_durations(pred_dur, frames)
             return self.model.apply(
                 params, ids, mask, d, fitted, ref_s, frames,
-                pcm16=pcm16, method=KokoroModel.decode_frames,
+                pcm16=(fmt == "pcm16"), method=KokoroModel.decode_frames,
             )
 
         return jax.jit(run)
@@ -303,12 +335,24 @@ class Synthesizer:
                 self._stage_a[key] = self._stage_a_fn()
         return self._stage_a[key]
 
+    @staticmethod
+    def _as_fmt(fmt) -> str:
+        """Accept legacy pcm16 bools alongside format strings."""
+        if fmt is True:
+            return "pcm16"
+        if fmt is False:
+            return "f32"
+        if fmt not in ("f32", "pcm16", "mulaw8k"):
+            raise ValueError(f"unknown audio format: {fmt!r}")
+        return fmt
+
     def _get_stage_b(self, batch: int, tokens: int, frames: int,
-                     pcm16: bool = True):
-        key = (batch, tokens, frames, pcm16)
+                     fmt="pcm16"):
+        fmt = self._as_fmt(fmt)
+        key = (batch, tokens, frames, fmt)
         with self._lock:
             if key not in self._stage_b:
-                self._stage_b[key] = self._stage_b_fn(frames, pcm16)
+                self._stage_b[key] = self._stage_b_fn(frames, fmt)
         return self._stage_b[key]
 
     # --- ahead-of-time warmup --------------------------------------------------
@@ -365,7 +409,7 @@ class Synthesizer:
         return dt
 
     def compile_stage_b(self, batch: int, tokens: int, frames: int,
-                        pcm16: bool = True) -> float:
+                        fmt="pcm16") -> float:
         """See compile_stage_a: warm through the serving jit path.
 
         The d/pred_dur inputs come from an ACTUAL stage-A execution:
@@ -376,7 +420,7 @@ class Synthesizer:
         import time
 
         t0 = time.perf_counter()
-        fn = self._get_stage_b(batch, tokens, frames, pcm16)
+        fn = self._get_stage_b(batch, tokens, frames, fmt)
         a_fn = self._get_stage_a(batch, tokens)
         ids = jnp.zeros((batch, tokens), jnp.int32)
         mask = jnp.ones((batch, tokens), jnp.float32)
@@ -400,9 +444,12 @@ class Synthesizer:
         phonemes_list: Sequence[str],
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
+        fmt: str = "pcm16",
     ) -> "DispatchHandle":
         """Stage the batch and launch stage A (async). Returns a handle for
-        ``launch_decode``/``collect``.
+        ``launch_decode``/``collect``.  ``fmt`` selects the on-device
+        output encoding ('pcm16' int16@24k, 'mulaw8k' uint8 G.711@8k,
+        'f32' raw float@24k) and is part of the stage-B compile key.
 
         The per-item frame totals (a [B] int32 array, ~100 bytes) start an
         async device->host copy immediately, so by the time ``launch_decode``
@@ -487,7 +534,7 @@ class Synthesizer:
         return DispatchHandle(
             n=n, b_bucket=b_bucket, t_bucket=t_bucket,
             ids=ids_d, mask=mask_d, ref=ref_d, d=d,
-            pred_dur=pred_dur, totals=totals,
+            pred_dur=pred_dur, totals=totals, fmt=self._as_fmt(fmt),
         )
 
     def launch_decode(self, handle: "DispatchHandle") -> "DispatchHandle":
@@ -506,7 +553,7 @@ class Synthesizer:
         # on host with no extra sync
         handle.fitted_totals = np.minimum(totals_np, f_bucket)
         stage_b = self._get_stage_b(
-            handle.b_bucket, handle.t_bucket, f_bucket, pcm16=True
+            handle.b_bucket, handle.t_bucket, f_bucket, fmt=handle.fmt
         )
         audio, _ = stage_b(
             self.params, handle.ids, handle.mask, handle.d,
@@ -530,14 +577,22 @@ class Synthesizer:
 
     def collect(self, handle: "DispatchHandle",
                 pcm16: bool = False) -> List[np.ndarray]:
-        """Fetch a dispatched batch's audio to host and trim per item."""
+        """Fetch a dispatched batch's audio to host and trim per item.
+
+        Returns float32 @24k by default, int16 @24k with ``pcm16=True``,
+        or uint8 G.711 mu-law @8k when the handle was dispatched with
+        ``fmt='mulaw8k'`` (the ``pcm16`` flag is ignored then)."""
         self.launch_decode(handle)
-        audio_np = np.asarray(handle.audio)  # int16: 2 bytes/sample
+        audio_np = np.asarray(handle.audio)
         spf = self.config.samples_per_frame
+        if handle.fmt == "mulaw8k":
+            from ..audio.telephony import RATIO
+
+            spf //= RATIO  # 200 output samples per model frame
         out = []
         for i in range(handle.n):
             clip = audio_np[i, : int(handle.fitted_totals[i]) * spf]
-            if not pcm16:
+            if handle.fmt == "pcm16" and not pcm16:
                 clip = clip.astype(np.float32) / 32767.0
             out.append(clip)
         return out
@@ -641,13 +696,17 @@ class Synthesizer:
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
         pcm16: bool = False,
+        fmt: str = "pcm16",
     ) -> List[np.ndarray]:
-        """IPA phoneme strings -> list of waveforms at 24 kHz.
+        """IPA phoneme strings -> list of waveforms.
 
-        The device always emits 16-bit PCM (halves the host transfer);
-        ``pcm16=False`` converts back to float32 on the host. Batches larger
-        than the biggest batch bucket are split into chunks, pipelined so
-        chunk k+1's stage A overlaps chunk k's decode."""
+        ``fmt='pcm16'`` (default): the device emits 16-bit PCM @24k
+        (halves the host transfer); ``pcm16=False`` converts back to
+        float32 on the host. ``fmt='mulaw8k'``: the device emits uint8
+        G.711 mu-law @8k (12x less transfer; telephony serving) and the
+        return is the raw mu-law bytes per item. Batches larger than the
+        biggest batch bucket are split into chunks, pipelined so chunk
+        k+1's stage A overlaps chunk k's decode."""
         if not phonemes_list:
             return []
         if speeds is None:
@@ -656,12 +715,13 @@ class Synthesizer:
         n = len(phonemes_list)
         if n <= max_b:
             return self.collect(
-                self.dispatch(phonemes_list, voice_ids, speeds), pcm16=pcm16
+                self.dispatch(phonemes_list, voice_ids, speeds, fmt=fmt),
+                pcm16=pcm16,
             )
         handles = [
             self.dispatch(
                 phonemes_list[s:s + max_b], voice_ids[s:s + max_b],
-                speeds[s:s + max_b],
+                speeds[s:s + max_b], fmt=fmt,
             )
             for s in range(0, n, max_b)
         ]
@@ -695,8 +755,11 @@ class Synthesizer:
         import time
 
         if batch is None or tokens is None:
-            if self._stage_b:
-                key = max(self._stage_b)  # largest warmed (b, t, f, pcm16)
+            serving = [
+                k for k in self._stage_b if isinstance(k[0], int)
+            ]
+            if serving:
+                key = max(serving)  # largest warmed (b, t, f, fmt)
                 batch = batch if batch is not None else key[0]
                 tokens = tokens if tokens is not None else key[1]
             else:
@@ -731,6 +794,7 @@ class Synthesizer:
         frame_sizes: Optional[Sequence[int]] = None,
         parallel: int = 4,
         absorb: bool = False,
+        formats: Sequence[str] = ("pcm16",),
     ) -> float:
         """Precompile the bucket inventory ahead of time.
 
@@ -772,8 +836,9 @@ class Synthesizer:
             for job in a_jobs:
                 job.result()
             b_jobs = [
-                pool.submit(self.compile_stage_b, b, t, f)
-                for b in batch_sizes for t in token_sizes for f in frames
+                pool.submit(self.compile_stage_b, b, t, f, fmt)
+                for b in batch_sizes for t in token_sizes
+                for f in frames for fmt in formats
             ]
             for job in b_jobs:
                 job.result()

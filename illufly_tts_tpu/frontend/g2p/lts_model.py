@@ -29,8 +29,10 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections import defaultdict
+from collections import OrderedDict, defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
+
+_MISS = object()  # memo sentinel (None is a valid cached prediction)
 
 # multi-character IPA symbols treated as single phonemes
 _MULTI = ["tʃ", "dʒ", "eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"]
@@ -217,6 +219,14 @@ class LTSModel:
             g = t.split(">", 1)[0]
             emit[g].append(t)
         self.emit = dict(emit)
+        # beam decode is ~2 ms/word of pure-Python work and a pure
+        # function of (word, beam) for a frozen model: memoize. OOV
+        # words repeat heavily across requests (names, brands), and
+        # this host serves the frontend on a single core.
+        self._memo: "OrderedDict[Tuple[str, int], Optional[str]]" = (
+            OrderedDict()
+        )
+        self._memo_cap = 50_000
 
     @classmethod
     def load(cls, path: str) -> Optional["LTSModel"]:
@@ -239,7 +249,20 @@ class LTSModel:
         return math.log(p)
 
     def predict(self, word: str, beam: int = 8) -> Optional[str]:
-        """Beam Viterbi over (position, prev-pair, pair) states."""
+        """Beam Viterbi over (position, prev-pair, pair) states.
+        Memoized (LRU, 50k entries)."""
+        key = (word, beam)
+        hit = self._memo.get(key, _MISS)
+        if hit is not _MISS:
+            self._memo.move_to_end(key)
+            return hit
+        out = self._predict(word, beam)
+        self._memo[key] = out
+        if len(self._memo) > self._memo_cap:
+            self._memo.popitem(last=False)
+        return out
+
+    def _predict(self, word: str, beam: int) -> Optional[str]:
         n = len(word)
         beams: List[Dict[Tuple[str, str], Tuple[float, str]]] = [
             {} for _ in range(n + 1)

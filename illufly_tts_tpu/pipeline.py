@@ -351,11 +351,18 @@ class TTSPipeline:
         texts: Sequence[str],
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
+        output_format: str = "f32",
     ) -> List[np.ndarray]:
         """One fused batched model call for many texts
-        (reference pipeline.py:556-614)."""
+        (reference pipeline.py:556-614).
+
+        ``output_format``: 'f32' (float32 @24k, default), 'pcm16'
+        (int16 @24k), or 'mulaw8k' (uint8 G.711 @8k — the resample +
+        companding run inside the decode program; audio/telephony.py)."""
         if speeds is None:
             speeds = [1.0] * len(texts)
+        if output_format not in ("f32", "pcm16", "mulaw8k"):
+            raise ValueError(f"unknown output_format: {output_format!r}")
         from .utils.profiling import TIMERS
 
         try:
@@ -367,16 +374,38 @@ class TTSPipeline:
                     for t in texts
                 ]
             with TIMERS.track("model"):
+                if output_format == "mulaw8k":
+                    return self.synthesizer.synthesize_batch(
+                        ipa_list, voice_ids, speeds, fmt="mulaw8k"
+                    )
                 return self.synthesizer.synthesize_batch(
-                    ipa_list, voice_ids, speeds
+                    ipa_list, voice_ids, speeds,
+                    pcm16=(output_format == "pcm16"),
                 )
         except Exception:
             if not self.fail_silent:
                 raise
             logger.exception("synthesis failed; returning silence")
-            return [
-                np.zeros(self.sample_rate, np.float32) for _ in texts
-            ]
+            return [self._silence(output_format) for _ in texts]
+
+    def _silence(self, output_format: str) -> np.ndarray:
+        """One second of silence in the requested format (0xFF is the
+        mu-law code for 0)."""
+        if output_format == "mulaw8k":
+            from .audio.telephony import TELEPHONY_RATE
+
+            return np.full(TELEPHONY_RATE, 0xFF, np.uint8)
+        if output_format == "pcm16":
+            return np.zeros(self.sample_rate, np.int16)
+        return np.zeros(self.sample_rate, np.float32)
+
+    def output_rate(self, output_format: str = "f32") -> int:
+        """Sample rate of a given output format's waveform."""
+        if output_format == "mulaw8k":
+            from .audio.telephony import TELEPHONY_RATE
+
+            return TELEPHONY_RATE
+        return self.sample_rate
 
     async def async_batch_process_texts(self, texts, voice_ids, speeds=None):
         return self.batch_process_texts(texts, voice_ids, speeds)
@@ -484,7 +513,8 @@ class CachedTTSPipeline(TTSPipeline):
     def is_voice_loaded(self, voice_id: str) -> bool:
         return self.synthesizer.is_voice_loaded(voice_id)
 
-    def batch_process_texts(self, texts, voice_ids, speeds=None):
+    def batch_process_texts(self, texts, voice_ids, speeds=None,
+                            output_format="f32"):
         if speeds is None:
             speeds = [1.0] * len(texts)
         results: List[Optional[np.ndarray]] = []
@@ -492,7 +522,7 @@ class CachedTTSPipeline(TTSPipeline):
         for i, (text, voice, speed) in enumerate(
             zip(texts, voice_ids, speeds)
         ):
-            key = f"audio:{voice}:{speed}:{text}"
+            key = f"audio:{output_format}:{voice}:{speed}:{text}"
             if key in self._audio_cache:
                 results.append(self._audio_cache[key])
             else:
@@ -512,11 +542,15 @@ class CachedTTSPipeline(TTSPipeline):
                 [texts[i] for i in compute_idx],
                 [voice_ids[i] for i in compute_idx],
                 [speeds[i] for i in compute_idx],
+                output_format=output_format,
             )
             for i in uncached:
                 sig = (texts[i], voice_ids[i], speeds[i])
                 audio = fresh[unique[sig]]
                 results[i] = audio
-                key = f"audio:{voice_ids[i]}:{speeds[i]}:{texts[i]}"
+                key = (
+                    f"audio:{output_format}:{voice_ids[i]}:"
+                    f"{speeds[i]}:{texts[i]}"
+                )
                 self._audio_cache_put(key, audio)
         return results

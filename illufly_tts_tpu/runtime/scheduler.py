@@ -60,6 +60,7 @@ class TTSTask:
     sequence_id: float = field(default_factory=time.time)
     audio_chunks: List[np.ndarray] = field(default_factory=list)
     debug_id: Optional[str] = None
+    output_format: str = "f32"  # 'f32' | 'pcm16' | 'mulaw8k'
 
     def to_status_dict(self) -> Dict[str, Any]:
         return {
@@ -158,7 +159,10 @@ class TTSServiceManager:
         speed: float = 1.0,
         user_id: Optional[str] = None,
         sequence_id: Optional[float] = None,
+        output_format: str = "f32",
     ) -> str:
+        if output_format not in ("f32", "pcm16", "mulaw8k"):
+            raise ValueError(f"unknown output_format: {output_format!r}")
         task_id = str(uuid.uuid4())
         # fail-fast voice validation off the event loop
         # (reference service.py:89-101)
@@ -178,7 +182,7 @@ class TTSServiceManager:
 
         task = TTSTask(
             task_id=task_id, text=text, voice_id=voice_id, speed=speed,
-            user_id=user_id,
+            user_id=user_id, output_format=output_format,
         )
         if sequence_id is not None:
             task.sequence_id = float(sequence_id)
@@ -279,6 +283,11 @@ class TTSServiceManager:
                 # next task cannot complete out of sequence
                 selected.append(heap[0][2])
         selected.sort(key=lambda t: t.sequence_id)
+        if selected:
+            # one compiled decode per batch: every task in it must share
+            # the head's output format; others wait for the next tick
+            fmt = selected[0].output_format
+            selected = [t for t in selected if t.output_format == fmt]
         return selected[: self.batch_size]
 
     # a completed task's audio is never evicted this soon after completion:
@@ -324,27 +333,37 @@ class TTSServiceManager:
             texts = [t.text for t in batch]
             voices = [t.voice_id for t in batch]
             speeds = [t.speed for t in batch]
+            fmt = batch[0].output_format  # _select_batch groups by format
             start = time.time()
-            audios = await asyncio.to_thread(
-                self.pipeline.batch_process_texts, texts, voices, speeds
-            )
+            if fmt == "f32":
+                # default format goes through the legacy 3-arg call so
+                # duck-typed pipelines (an extension point) keep working
+                audios = await asyncio.to_thread(
+                    self.pipeline.batch_process_texts, texts, voices,
+                    speeds,
+                )
+            else:
+                audios = await asyncio.to_thread(
+                    self.pipeline.batch_process_texts, texts, voices,
+                    speeds, fmt,
+                )
             elapsed = time.time() - start
             logger.info(
                 "batch of %d done in %.3fs", len(batch), elapsed
             )
             self.counters["batches"] += 1
             self.counters["batch_seconds"] += elapsed
+            rate_of = getattr(self.pipeline, "output_rate", None)
+            rate = rate_of(fmt) if rate_of else self.pipeline.sample_rate
             for task, audio in zip(batch, audios):
-                self.counters["audio_seconds"] += (
-                    audio.size / self.pipeline.sample_rate
-                )
+                self.counters["audio_seconds"] += audio.size / rate
                 task.audio_chunks.append(audio)
                 if self.output_dir:
                     path = os.path.join(
                         self.output_dir, f"{task.task_id}.wav"
                     )
                     await asyncio.to_thread(
-                        save_wav, path, audio, self.pipeline.sample_rate
+                        self._save_task_wav, path, audio, fmt, rate
                     )
                 task.status = TaskStatus.COMPLETED
                 task.completed_at = time.time()
@@ -364,6 +383,16 @@ class TTSServiceManager:
             )
             self._evict_history()
             self._wakeup.set()  # the loop may now select this batch's users
+
+    @staticmethod
+    def _save_task_wav(path, audio, fmt, rate):
+        if fmt == "mulaw8k":
+            from ..audio.wav import encode_wav_mulaw
+
+            with open(path, "wb") as f:
+                f.write(encode_wav_mulaw(audio, rate))
+        else:
+            save_wav(path, audio, rate)
 
     async def _batch_processing_loop(self) -> None:
         logger.info(

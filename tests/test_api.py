@@ -33,8 +33,14 @@ class FakePipeline:
     def list_voices(self):
         return ["zf_001"]
 
-    def batch_process_texts(self, texts, voice_ids, speeds=None):
+    def batch_process_texts(self, texts, voice_ids, speeds=None,
+                            output_format="f32"):
+        if output_format == "mulaw8k":
+            return [np.full(800, 0xFF, np.uint8) for _ in texts]
         return [np.zeros(2400, np.float32) for _ in texts]
+
+    def output_rate(self, output_format="f32"):
+        return 8000 if output_format == "mulaw8k" else self.sample_rate
 
     def segment_text(self, text, max_len=400):
         import re
@@ -273,3 +279,37 @@ async def test_startup_warmup_env(tmp_path):
     assert kw["absorb"] is True
     assert kw["batch_sizes"] == (1, 8)
     assert set(kw["frame_sizes"]) == {256, 512}
+
+
+async def test_tts_mulaw8k_format():
+    """format=mulaw8k returns a format-7 (G.711) WAV at 8 kHz."""
+    from illufly_tts_tpu.audio.wav import decode_wav
+
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "format": "mulaw8k"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["status"] == "success"
+        assert data["sample_rate"] == 8000
+        assert data["format"] == "mulaw"
+        wav = base64.b64decode(data["audio_base64"])
+        assert wav[:4] == b"RIFF"
+        assert wav[20:22] == b"\x07\x00"  # wFormatTag 7 = mu-law
+        audio, rate = decode_wav(wav)
+        assert rate == 8000
+        # fake pipeline returns mu-law code 0xFF == silence
+        np.testing.assert_allclose(audio, 0.0, atol=1e-4)
+
+
+async def test_tts_unknown_format_rejected():
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "format": "opus"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400

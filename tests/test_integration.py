@@ -111,9 +111,9 @@ def test_within_batch_dedup(pipe):
     calls = []
     orig = type(pipe).__mro__[1].batch_process_texts  # TTSPipeline impl
 
-    def spy(texts, voice_ids, speeds=None):
+    def spy(texts, voice_ids, speeds=None, output_format="f32"):
         calls.append(list(texts))
-        return orig(pipe, texts, voice_ids, speeds)
+        return orig(pipe, texts, voice_ids, speeds, output_format)
 
     import unittest.mock as mock
 

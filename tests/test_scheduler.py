@@ -27,12 +27,18 @@ class FakePipeline:
             raise ValueError("no such voice")
         return np.zeros((1, 256), np.float32)
 
-    def batch_process_texts(self, texts, voice_ids, speeds=None):
+    def batch_process_texts(self, texts, voice_ids, speeds=None,
+                            output_format="f32"):
         import time
 
         time.sleep(self.delay)
         self.calls.append(list(texts))
+        if output_format == "mulaw8k":
+            return [np.full(800, 0xFF, np.uint8) for _ in texts]
         return [np.zeros(2400, np.float32) for _ in texts]
+
+    def output_rate(self, output_format="f32"):
+        return 8000 if output_format == "mulaw8k" else self.sample_rate
 
 
 def make_manager(**kw):
@@ -409,3 +415,38 @@ async def test_load_10k_pending_index_stays_flat():
             drained += 1
     assert drained == 10100
     assert manager._pending_count == 0
+
+
+async def test_batches_are_format_homogeneous():
+    """Mixed-format submissions must never share a decode batch (one
+    stage-B program per batch), while per-user ordering is preserved."""
+    manager = make_manager(batch_size=8)
+    await manager.start()
+    fmts = ["f32", "mulaw8k", "f32", "mulaw8k", "f32", "mulaw8k"]
+    ids = []
+    for i, fmt in enumerate(fmts):
+        ids.append(await manager.submit_task(
+            f"text {i}", user_id=f"user{i}", output_format=fmt,
+        ))
+    for tid in ids:
+        assert await wait_status(manager, tid, TaskStatus.COMPLETED)
+    # reconstruct each batch's formats from the recorded call texts
+    by_text = {f"text {i}": fmt for i, fmt in enumerate(fmts)}
+    for call in manager.pipeline.calls:
+        formats = {by_text[t] for t in call}
+        assert len(formats) == 1, f"mixed-format batch: {call}"
+    # mulaw output surfaced with the right dtype and rate accounting
+    task = manager.tasks[ids[1]]
+    assert task.audio_chunks[0].dtype == np.uint8
+    await manager.shutdown()
+
+
+async def test_submit_rejects_unknown_format():
+    manager = make_manager()
+    try:
+        import pytest
+
+        with pytest.raises(ValueError):
+            await manager.submit_task("t", output_format="opus")
+    finally:
+        await manager.shutdown()
