@@ -238,27 +238,34 @@ def main() -> None:
 
     pipe = TTSPipeline(synthesizer=synth)
     zh = "今天天气真不错，我们一起去公园散步，顺便讨论一下这个项目的进展情况。"
-    e2e_iters = 4
+    e2e_iters = 8
     # distinct texts every batch: cache-miss regime, realistic serving
     e2e_batches = [
         [f"第{i * batch + j}次测试。{zh}" for j in range(batch)]
         for i in range(e2e_iters)
     ]
     pipe.batch_process_texts(e2e_batches[0], voices)  # warm compile+jieba
-    # 2-deep pipelining, exactly like the serving scheduler
-    # (runtime/scheduler.py pipeline_depth): batch k+1's host frontend
-    # overlaps batch k's device decode (GIL released inside XLA)
-    from concurrent.futures import ThreadPoolExecutor
-
+    # split-phase decode-ahead, exactly the serving scheduler's schedule
+    # (runtime/scheduler.py::_run_batch_split): batch k+1's host frontend
+    # + stage A run while batch k decodes, and k's PCM transfer overlaps
+    # k+1's stage B (two decodes in flight)
     t0 = time.perf_counter()
     e2e_samples = 0
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futures = [
-            pool.submit(pipe.batch_process_texts, batch_texts, voices)
-            for batch_texts in e2e_batches
-        ]
-        for fut in futures:
-            e2e_samples += sum(a.size for a in fut.result())
+    in_flight = deque()
+    e2e_it = iter(e2e_batches)
+    for _ in range(3):
+        nxt = next(e2e_it, None)
+        if nxt is None:
+            break
+        in_flight.append(pipe.dispatch_texts(nxt, voices))
+    while in_flight:
+        for h in list(in_flight)[:2]:
+            pipe.launch_decode(h)
+        nxt = next(e2e_it, None)
+        if nxt is not None:
+            in_flight.append(pipe.dispatch_texts(nxt, voices))
+        out = pipe.collect_batch(in_flight.popleft())
+        e2e_samples += sum(a.size for a in out)
     e2e_elapsed = time.perf_counter() - t0
     e2e_throughput = (e2e_samples / synth.sample_rate) / e2e_elapsed
 

@@ -366,13 +366,7 @@ class TTSPipeline:
         from .utils.profiling import TIMERS
 
         try:
-            with TIMERS.track("frontend"):
-                ipa_list = [
-                    self.phonemes_to_ipa(
-                        self.text_to_phonemes(self.preprocess_text(t))
-                    )[:MAX_PHONEMES]
-                    for t in texts
-                ]
+            ipa_list = self._texts_to_ipa(texts)
             with TIMERS.track("model"):
                 if output_format == "mulaw8k":
                     return self.synthesizer.synthesize_batch(
@@ -387,6 +381,62 @@ class TTSPipeline:
                 raise
             logger.exception("synthesis failed; returning silence")
             return [self._silence(output_format) for _ in texts]
+
+    def _texts_to_ipa(self, texts: Sequence[str]) -> List[str]:
+        from .utils.profiling import TIMERS
+
+        with TIMERS.track("frontend"):
+            return [
+                self.phonemes_to_ipa(
+                    self.text_to_phonemes(self.preprocess_text(t))
+                )[:MAX_PHONEMES]
+                for t in texts
+            ]
+
+    # --- split-phase serving surface (decode-ahead pipelining) ------------------
+
+    @property
+    def supports_split_phase(self) -> bool:
+        """True when a caller (the scheduler) may drive this pipeline
+        through ``dispatch_texts``/``launch_decode``/``collect_batch``
+        instead of the blocking ``batch_process_texts``. ``fail_silent``
+        pipelines opt out (the silence fallback is a batch_process_texts
+        behavior); the cached subclass opts out (its audio cache wraps
+        batch_process_texts)."""
+        return not self.fail_silent
+
+    def dispatch_texts(
+        self,
+        texts: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+        output_format: str = "f32",
+    ):
+        """Frontend + stage A for one batch; returns an opaque handle for
+        ``launch_decode``/``collect_batch``. Splitting the phases lets the
+        scheduler keep batch k+1's stage B on the device while batch k's
+        audio streams to host — the schedule that takes the device loop
+        from ~sum(stages) to ~max(compute, transfer) per batch (bench.py
+        pinned loop). The batch must fit the largest batch bucket (the
+        scheduler's batch_size always does)."""
+        if output_format not in ("f32", "pcm16", "mulaw8k"):
+            raise ValueError(f"unknown output_format: {output_format!r}")
+        ipa_list = self._texts_to_ipa(texts)
+        fmt = "mulaw8k" if output_format == "mulaw8k" else "pcm16"
+        return self.synthesizer.dispatch(ipa_list, voice_ids, speeds, fmt=fmt)
+
+    def launch_decode(self, handle):
+        """Launch stage B for a dispatched batch (async, idempotent)."""
+        return self.synthesizer.launch_decode(handle)
+
+    def collect_batch(self, handle, output_format: str = "f32"):
+        """Fetch a dispatched batch's audio in the requested format."""
+        from .utils.profiling import TIMERS
+
+        with TIMERS.track("model"):
+            return self.synthesizer.collect(
+                handle, pcm16=(output_format == "pcm16")
+            )
 
     def _silence(self, output_format: str) -> np.ndarray:
         """One second of silence in the requested format (0xFF is the
@@ -434,6 +484,21 @@ class TTSPipeline:
                 yield self.batch_process_texts(
                     cur_texts, cur_voices, cur_speeds
                 )
+
+
+class _CachedDispatch:
+    """CachedTTSPipeline's split-phase handle: cache hits pre-filled at
+    dispatch time; ``inner`` is the device handle for the deduped misses
+    (None when every row hit)."""
+
+    __slots__ = ("inner", "results", "uncached", "unique_row", "keys")
+
+    def __init__(self):
+        self.inner = None
+        self.results: List[Optional[np.ndarray]] = []
+        self.uncached: List[int] = []
+        self.unique_row: Dict[int, int] = {}
+        self.keys: Dict[int, str] = {}
 
 
 class CachedTTSPipeline(TTSPipeline):
@@ -512,6 +577,68 @@ class CachedTTSPipeline(TTSPipeline):
 
     def is_voice_loaded(self, voice_id: str) -> bool:
         return self.synthesizer.is_voice_loaded(voice_id)
+
+    def dispatch_texts(self, texts, voice_ids, speeds=None,
+                       output_format="f32"):
+        """Split-phase dispatch with the audio cache applied first: cached
+        rows are pre-filled, only the deduped misses go to the device (the
+        same hit/dedup scheme as batch_process_texts)."""
+        if speeds is None:
+            speeds = [1.0] * len(texts)
+        if output_format not in ("f32", "pcm16", "mulaw8k"):
+            raise ValueError(f"unknown output_format: {output_format!r}")
+        h = _CachedDispatch()
+        h.uncached = []
+        h.results = []
+        for i, (text, voice, speed) in enumerate(
+            zip(texts, voice_ids, speeds)
+        ):
+            key = f"audio:{output_format}:{voice}:{speed}:{text}"
+            if key in self._audio_cache:
+                h.results.append(self._audio_cache[key])
+            else:
+                h.uncached.append(i)
+                h.results.append(None)
+        if h.uncached:
+            unique: Dict[tuple, int] = {}
+            compute_idx = []
+            for i in h.uncached:
+                sig = (texts[i], voice_ids[i], speeds[i])
+                if sig not in unique:
+                    unique[sig] = len(compute_idx)
+                    compute_idx.append(i)
+            h.unique_row = {
+                i: unique[(texts[i], voice_ids[i], speeds[i])]
+                for i in h.uncached
+            }
+            h.keys = {
+                i: (
+                    f"audio:{output_format}:{voice_ids[i]}:"
+                    f"{speeds[i]}:{texts[i]}"
+                )
+                for i in h.uncached
+            }
+            h.inner = super().dispatch_texts(
+                [texts[i] for i in compute_idx],
+                [voice_ids[i] for i in compute_idx],
+                [speeds[i] for i in compute_idx],
+                output_format=output_format,
+            )
+        return h
+
+    def launch_decode(self, handle):
+        if handle.inner is not None:
+            self.synthesizer.launch_decode(handle.inner)
+        return handle
+
+    def collect_batch(self, handle, output_format="f32"):
+        if handle.inner is not None:
+            fresh = super().collect_batch(handle.inner, output_format)
+            for i in handle.uncached:
+                audio = fresh[handle.unique_row[i]]
+                handle.results[i] = audio
+                self._audio_cache_put(handle.keys[i], audio)
+        return handle.results
 
     def batch_process_texts(self, texts, voice_ids, speeds=None,
                             output_format="f32"):

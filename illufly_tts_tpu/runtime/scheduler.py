@@ -87,7 +87,7 @@ class TTSServiceManager:
         pipeline: Optional[CachedTTSPipeline] = None,
         audio_history_limit: int = 64,
         task_history_limit: int = 4096,
-        pipeline_depth: int = 2,
+        pipeline_depth: int = 3,
     ):
         self.batch_size = batch_size
         self.max_wait_time = max_wait_time
@@ -125,6 +125,13 @@ class TTSServiceManager:
         # (GIL released inside XLA). Per-user ordering still holds because
         # a user has at most ONE task in flight across all active batches.
         self.pipeline_depth = max(1, pipeline_depth)
+        # split-phase decode-ahead (pipelines exposing dispatch_texts/
+        # launch_decode/collect_batch): dispatched handles collect in FIFO
+        # order, and the head's collect also launches the next handle's
+        # stage B so the head's PCM transfer overlaps it on the device —
+        # the schedule behind the pinned bench number (bench.py)
+        self._decode_q: Deque = deque()
+        self._head_event = asyncio.Event()  # set when the queue head pops
         self._active: set = set()
         self._in_flight_users: set = set()
         self.counters = {
@@ -335,7 +342,11 @@ class TTSServiceManager:
             speeds = [t.speed for t in batch]
             fmt = batch[0].output_format  # _select_batch groups by format
             start = time.time()
-            if fmt == "f32":
+            if getattr(self.pipeline, "supports_split_phase", False):
+                audios = await self._run_batch_split(
+                    texts, voices, speeds, fmt
+                )
+            elif fmt == "f32":
                 # default format goes through the legacy 3-arg call so
                 # duck-typed pipelines (an extension point) keep working
                 audios = await asyncio.to_thread(
@@ -383,6 +394,44 @@ class TTSServiceManager:
             )
             self._evict_history()
             self._wakeup.set()  # the loop may now select this batch's users
+
+    async def _run_batch_split(self, texts, voices, speeds, fmt):
+        """Decode-ahead pipelining through the pipeline's split-phase
+        surface: batch k+1's host frontend + stage A run while batch k
+        decodes, and collecting batch k first launches batch k+1's stage B
+        so k's device->host PCM transfer overlaps k+1's compute. Handles
+        collect strictly FIFO (the order their stage A was dispatched), so
+        completion order stays deterministic under concurrency."""
+        handle = await asyncio.to_thread(
+            self.pipeline.dispatch_texts, texts, voices, speeds, fmt
+        )
+        self._decode_q.append(handle)
+        try:
+            # single event loop: no other coroutine runs between the head
+            # check, clear() and wait(), so the wakeup cannot be missed
+            while self._decode_q[0] is not handle:
+                self._head_event.clear()
+                await self._head_event.wait()
+            return await asyncio.to_thread(
+                self._decode_collect, handle, fmt
+            )
+        finally:
+            self._decode_q.remove(handle)
+            self._head_event.set()  # synchronous: safe under cancellation
+
+    def _decode_collect(self, handle, fmt):
+        # worker thread; `handle` is the queue head and stays head until
+        # this returns (only the head's runner removes it), so peeking
+        # index 1 is race-free
+        self.pipeline.launch_decode(handle)
+        if len(self._decode_q) > 1:
+            try:
+                self.pipeline.launch_decode(self._decode_q[1])
+            except Exception:
+                # deferred: the next batch's own collect will re-raise it
+                # under that batch's failure policy
+                logger.exception("decode-ahead launch failed")
+        return self.pipeline.collect_batch(handle, fmt)
 
     @staticmethod
     def _save_task_wav(path, audio, fmt, rate):

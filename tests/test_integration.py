@@ -127,3 +127,65 @@ def test_within_batch_dedup(pipe):
     assert len(out) == 3
     np.testing.assert_array_equal(out[0], out[1])
     assert len(calls) == 1 and len(calls[0]) == 2  # only 2 unique computed
+
+
+def test_split_phase_matches_oneshot(pipe):
+    """Plain split-phase (dispatch -> launch_decode -> collect) over the
+    real tiny model must equal the one-shot batch path, with two batches
+    in flight (the serving scheduler's decode-ahead schedule)."""
+    plain = TTSPipeline(synthesizer=pipe.synthesizer)
+    assert plain.supports_split_phase
+    batches = [
+        (["你好。", "再见。"], ["zf_001", "zf_001"]),
+        (["今天天气不错。"], ["zf_001"]),
+    ]
+    handles = [
+        plain.dispatch_texts(texts, voices) for texts, voices in batches
+    ]
+    # both stage Bs launched before either collect (decode-ahead)
+    for h in handles:
+        plain.launch_decode(h)
+    staged = [plain.collect_batch(h) for h in handles]
+    for (texts, voices), got in zip(batches, staged):
+        want = plain.batch_process_texts(texts, voices)
+        assert len(got) == len(want)
+        for a, b in zip(got, want):
+            assert a.size == b.size
+            np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_split_phase_cached(pipe):
+    """Cached split-phase: misses compute once, hits skip the device
+    entirely (handle.inner is None), and results match batch path."""
+    texts = ["缓存分相一。", "缓存分相二。"]
+    voices = ["zf_001", "zf_001"]
+    h = pipe.dispatch_texts(texts, voices)
+    assert h.inner is not None  # cold: real device work dispatched
+    pipe.launch_decode(h)
+    first = pipe.collect_batch(h)
+    assert len(first) == 2 and all(a.size > 0 for a in first)
+    # second dispatch: every row is a cache hit, no device handle at all
+    h2 = pipe.dispatch_texts(texts, voices)
+    assert h2.inner is None
+    pipe.launch_decode(h2)  # must be a no-op, not crash
+    again = pipe.collect_batch(h2)
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+    # mixed batch: one hit + one new text -> only the miss computes
+    h3 = pipe.dispatch_texts(["缓存分相一。", "新句子。"], voices)
+    assert h3.inner is not None and h3.uncached == [1]
+    pipe.launch_decode(h3)
+    mixed = pipe.collect_batch(h3)
+    np.testing.assert_array_equal(mixed[0], first[0])
+    assert mixed[1].size > 0
+
+
+def test_split_phase_dedups_within_batch(pipe):
+    """Cached split-phase dedups identical uncached rows in one batch."""
+    texts = ["分相去重。", "分相去重。", "分相另句。"]
+    h = pipe.dispatch_texts(texts, ["zf_001"] * 3)
+    assert h.inner is not None
+    pipe.launch_decode(h)
+    out = pipe.collect_batch(h)
+    assert len(out) == 3
+    np.testing.assert_array_equal(out[0], out[1])

@@ -450,3 +450,129 @@ async def test_submit_rejects_unknown_format():
             await manager.submit_task("t", output_format="opus")
     finally:
         await manager.shutdown()
+
+
+class SplitPhasePipeline(FakePipeline):
+    """Exposes the split-phase surface (dispatch_texts/launch_decode/
+    collect_batch) so the scheduler's decode-ahead path is exercised."""
+
+    supports_split_phase = True
+
+    def __init__(self, delay: float = 0.01, collect_delay: float = 0.0):
+        super().__init__(delay)
+        self.collect_delay = collect_delay
+        self.events = []  # ordered (phase, texts[0]) records
+
+    def dispatch_texts(self, texts, voice_ids, speeds=None,
+                       output_format="f32"):
+        import time
+
+        time.sleep(self.delay)  # stands in for frontend + stage A
+        self.events.append(("dispatch", texts[0]))
+        return {"texts": list(texts), "fmt": output_format,
+                "decoded": False}
+
+    def launch_decode(self, handle):
+        if not handle["decoded"]:
+            handle["decoded"] = True
+            self.events.append(("decode", handle["texts"][0]))
+        return handle
+
+    def collect_batch(self, handle, output_format="f32"):
+        import time
+
+        assert handle["decoded"], "collect before launch_decode"
+        if self.collect_delay:
+            time.sleep(self.collect_delay)  # stands in for PCM transfer
+        self.events.append(("collect", handle["texts"][0]))
+        self.calls.append(handle["texts"])
+        if handle["fmt"] == "mulaw8k":
+            return [np.full(800, 0xFF, np.uint8) for _ in handle["texts"]]
+        return [np.zeros(2400, np.float32) for _ in handle["texts"]]
+
+
+async def test_split_phase_completes_and_collects_fifo():
+    """With a split-phase pipeline the scheduler must collect batches in
+    dispatch order (FIFO) and still complete every task correctly."""
+    pipeline = SplitPhasePipeline(delay=0.01)
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=0.01, batch_size=1,
+        pipeline_depth=3,
+    )
+    await manager.start()
+    ids = [
+        await manager.submit_task(f"s{i}", "v", user_id=f"u{i}")
+        for i in range(6)
+    ]
+    for tid in ids:
+        status = await wait_status(manager, tid, "completed")
+        assert status["status"] == "completed"
+    await manager.shutdown()
+    dispatches = [t for ph, t in pipeline.events if ph == "dispatch"]
+    collects = [t for ph, t in pipeline.events if ph == "collect"]
+    assert sorted(dispatches) == [f"s{i}" for i in range(6)]
+    assert collects == dispatches  # FIFO: collect order == dispatch order
+    # audio landed on each task
+    for tid in ids:
+        assert manager.tasks[tid].audio_chunks
+
+
+async def test_split_phase_decode_ahead_overlaps():
+    """While batch k collects, batch k+1's decode must already be
+    launched (the transfer/compute overlap behind the bench number).
+
+    Deterministic setup: all tasks are submitted BEFORE the loop starts,
+    so `pipeline_depth` runners enter flight together; dispatch is
+    instant and collect is slow, so later handles are always queued while
+    the head's collect sleeps — the decode-ahead launch must fire."""
+    pipeline = SplitPhasePipeline(delay=0.0, collect_delay=0.05)
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=0.01, batch_size=1,
+        pipeline_depth=3,
+    )
+    ids = [
+        await manager.submit_task(f"d{i}", "v", user_id=f"u{i}")
+        for i in range(4)
+    ]
+    await manager.start()
+    for tid in ids:
+        await wait_status(manager, tid, "completed")
+    await manager.shutdown()
+    ev = pipeline.events
+    # find at least one decode of batch X occurring before the collect of
+    # the batch dispatched before X (decode-ahead happened)
+    collect_pos = {t: i for i, (ph, t) in enumerate(ev) if ph == "collect"}
+    decode_pos = {t: i for i, (ph, t) in enumerate(ev) if ph == "decode"}
+    collects = [t for ph, t in ev if ph == "collect"]
+    ahead = any(
+        decode_pos[collects[k + 1]] < collect_pos[collects[k]]
+        for k in range(len(collects) - 1)
+        if collects[k + 1] in decode_pos
+    )
+    assert ahead, ev
+
+
+async def test_split_phase_failure_policy():
+    """A split-phase batch whose dispatch raises marks its tasks FAILED
+    without wedging the FIFO queue for later batches."""
+
+    class FailingSplit(SplitPhasePipeline):
+        def dispatch_texts(self, texts, voice_ids, speeds=None,
+                           output_format="f32"):
+            if any("boom" in t for t in texts):
+                raise RuntimeError("frontend exploded")
+            return super().dispatch_texts(
+                texts, voice_ids, speeds, output_format
+            )
+
+    manager = TTSServiceManager(
+        pipeline=FailingSplit(delay=0.0), max_wait_time=0.01, batch_size=1,
+    )
+    await manager.start()
+    bad = await manager.submit_task("boom", "v", user_id="u1")
+    good = await manager.submit_task("fine", "v", user_id="u2")
+    await wait_status(manager, bad, "failed")
+    await wait_status(manager, good, "completed")
+    await manager.shutdown()
+    assert manager.tasks[bad].error
+    assert manager.tasks[good].audio_chunks
