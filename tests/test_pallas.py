@@ -82,3 +82,47 @@ def test_instance_moments_masked():
     mean, rstd = instance_moments(x, mask)
     ref_mean = np.asarray(x[:, :40]).mean(axis=1)
     np.testing.assert_allclose(np.asarray(mean), ref_mean, atol=1e-5)
+
+
+@pytest.mark.parametrize("k,d,L,bl", [
+    (3, 1, 384, 256), (7, 3, 384, 256), (11, 5, 384, 256),
+    (11, 5, 130, 256),   # single partial block
+    (7, 3, 1000, 256),   # multi-block with partial tail
+])
+def test_carry_adain_snake_conv(k, d, L, bl):
+    """Single-read carry-scratch kernel (round 3) vs the jnp reference:
+    block-boundary halos, batch-carry reset, and edge zero-padding."""
+    from illufly_tts_tpu.ops.pallas.carry_conv import adain_snake_conv_carry
+    from illufly_tts_tpu.ops.pallas.fused_conv import (
+        adain_snake_conv_reference,
+        fold_adain,
+        instance_moments,
+    )
+
+    rng = np.random.RandomState(0)
+    B, C = 2, 128
+    x = jnp.asarray(rng.randn(B, L, C).astype(np.float32) * 0.5)
+    mask = jnp.asarray(
+        (np.arange(L)[None, :] < np.array([[L], [max(L - 60, 9)]]))
+        .astype(np.float32)
+    ).reshape(B, L)
+    gamma = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    beta = jnp.asarray(rng.randn(B, C).astype(np.float32) * 0.1)
+    alpha = jnp.asarray(np.abs(rng.randn(C)).astype(np.float32) + 0.5)
+    w = jnp.asarray(rng.randn(k, C, C).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    mean, rstd = instance_moments(x, mask)
+    scale, shift = fold_adain(mean, rstd, gamma, beta)
+
+    x_t = jnp.transpose(x, (0, 2, 1))
+    ref = adain_snake_conv_reference(
+        x_t, mask, scale, shift, alpha, w, bias, k, d
+    )
+    out = adain_snake_conv_carry(
+        x_t, mask, scale, shift, alpha, w, bias, k, d,
+        block_len=bl, interpret=True,
+    )
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-3, rtol=1e-3
+    )
