@@ -174,6 +174,20 @@ def main() -> None:
     mulaw_throughput = audio_ml / elapsed_ml
     log(f"mulaw8k: {mulaw_throughput:.1f}x realtime")
 
+    # ---- scenario 1c: mulaw24k wire codec (uint8 G.711 @24 kHz) --------------
+    # full-rate output over half the pcm16 transfer: the device ships
+    # 1 byte/sample and collect() expands via a 256-entry LUT. Opt-in
+    # (--audio-wire mulaw24k in serve): audio lands on the 8-bit mu-law
+    # grid. Shows what the transfer-bound pinned loop gains when the
+    # wire stops being the limit while keeping 24 kHz delivery.
+    log("scenario 1c: mulaw24k wire codec...")
+    synth.synthesize_batch(texts, voices, fmt="mulaw24k")  # compile+steady
+    audio_w, elapsed_w = pipelined_throughput(
+        synth, [(texts, voices)] * iters, fmt="mulaw24k",
+    )
+    wire_throughput = audio_w / elapsed_w
+    log(f"mulaw24k wire: {wire_throughput:.1f}x realtime")
+
     # ---- roofline: per-stage cost analysis + measured times ------------------
     log("roofline: timing stages in isolation...")
     stage_a = synth._stage_a[(batch, tokens)]
@@ -297,6 +311,7 @@ def main() -> None:
             "rtf": round(rtf, 6),
             "multibucket_x_realtime": round(mb_throughput, 2),
             "mulaw8k_x_realtime": round(mulaw_throughput, 2),
+            "mulaw24k_wire_x_realtime": round(wire_throughput, 2),
             "e2e_x_realtime": round(e2e_throughput, 2),
             "batch1_latency_s": round(b1_latency, 3),
             "ttfa_stream_s": round(ttfa, 3),

@@ -51,8 +51,13 @@ def cli():
 @click.option("--en-dict", default=None, help="custom en pronunciation dict")
 @click.option("--dp", default=0, type=int,
               help="data-parallel serving over N chips (0 = single device)")
+@click.option("--audio-wire", default=None,
+              type=click.Choice(["mulaw24k"]),
+              help="device->host wire codec for PCM outputs (mulaw24k: "
+                   "half the transfer, G.711 8-bit quality at 24 kHz)")
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
-          chunk_size, output_dir, debug_output, zh_dict, en_dict, dp):
+          chunk_size, output_dir, debug_output, zh_dict, en_dict, dp,
+          audio_wire):
     """Start the TTS HTTP service."""
     _apply_device(device)
     from aiohttp import web
@@ -96,7 +101,7 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         logger.info("data-parallel serving over %d chips", dp)
         pipeline = CachedTTSPipeline(
             repo_id=repo_id, voices_dir=voices_dir, device=device,
-            mesh=make_mesh(n_data=dp),
+            mesh=make_mesh(n_data=dp), wire_format=audio_wire,
         )
     cors_origins = os.environ.get("TTS_CORS_ORIGINS", "")
     app = create_app(
@@ -108,6 +113,7 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         chunk_size=chunk_size,
         output_dir=output_dir,
         pipeline=pipeline,
+        wire_format=audio_wire,
     )
     if cors_origins:
         @web.middleware

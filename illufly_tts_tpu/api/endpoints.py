@@ -98,6 +98,7 @@ def create_app(
     prefix: str = "/api",
     pipeline=None,
     register_default_voice: bool = True,
+    wire_format: Optional[str] = None,
 ) -> web.Application:
     """Build the aiohttp application serving the TTS API."""
     if not output_dir:
@@ -123,6 +124,7 @@ def create_app(
             chunk_size=chunk_size,
             output_dir=output_dir,
             pipeline=pipeline,
+            wire_format=wire_format,
         )
         if register_default_voice:
             synth = manager.pipeline.synthesizer

@@ -116,6 +116,24 @@ def mulaw_encode_np(x16: np.ndarray) -> np.ndarray:
     return (body ^ mask).astype(np.uint8)
 
 
+_MULAW_LUT: dict = {}
+
+
+def mulaw_lut(dtype=np.float32) -> np.ndarray:
+    """256-entry mu-law expansion table (float32 [-1,1] or int16 PCM).
+    Expanding a clip is then one fancy-index gather — the per-sample
+    integer math of ``mulaw_decode_np`` is ~10x slower at the serving
+    batch's ~7.7M samples and would eat the wire codec's transfer win."""
+    key = np.dtype(dtype).name
+    if key not in _MULAW_LUT:
+        f32 = mulaw_decode_np(np.arange(256, dtype=np.uint8))
+        if key == "int16":
+            _MULAW_LUT[key] = np.round(f32 * 32767.0).astype(np.int16)
+        else:
+            _MULAW_LUT[key] = f32.astype(dtype)
+    return _MULAW_LUT[key]
+
+
 def mulaw_decode_np(u8: np.ndarray) -> np.ndarray:
     """uint8 mu-law -> float32 [-1, 1] (host; midpoint inverse of the
     encoder — each code maps to the center of its quantization cell)."""

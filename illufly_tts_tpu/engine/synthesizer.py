@@ -294,13 +294,18 @@ class Synthesizer:
 
     def _stage_b_fn(self, frames: int, fmt: str):
         """fmt: 'f32' (raw float32 @24k), 'pcm16' (int16 @24k, halves the
-        host transfer), or 'mulaw8k' (uint8 G.711 mu-law @8k — 12x less
+        host transfer), 'mulaw8k' (uint8 G.711 mu-law @8k — 12x less
         transfer than f32; the decimating FIR + companding fuse into the
-        decode program, audio/telephony.py)."""
-        if fmt == "mulaw8k":
+        decode program, audio/telephony.py), or 'mulaw24k' (uint8 G.711
+        mu-law at the FULL 24 kHz rate — a pure WIRE codec: 2x less
+        transfer than pcm16, expanded back to PCM on the host by
+        ``collect``; the audio stays 24 kHz, quantized to the 8-bit
+        mu-law grid)."""
+        if fmt in ("mulaw8k", "mulaw24k"):
             from ..audio.telephony import mulaw_encode, resample_to_8k
 
             taps = self._fir_taps
+            to_8k = fmt == "mulaw8k"
 
             def run_mulaw(params, ids, mask, d, pred_dur, ref_s):
                 fitted = _fit_durations(pred_dur, frames)
@@ -314,7 +319,9 @@ class Synthesizer:
                     peak > 1.0, 1.0 / jnp.maximum(peak, 1e-9), 1.0
                 )
                 audio = jnp.clip(audio * scale, -1.0, 1.0)
-                return mulaw_encode(resample_to_8k(audio, taps)), fmask
+                if to_8k:
+                    audio = resample_to_8k(audio, taps)
+                return mulaw_encode(audio), fmask
 
             return jax.jit(run_mulaw)
 
@@ -342,7 +349,7 @@ class Synthesizer:
             return "pcm16"
         if fmt is False:
             return "f32"
-        if fmt not in ("f32", "pcm16", "mulaw8k"):
+        if fmt not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown audio format: {fmt!r}")
         return fmt
 
@@ -449,7 +456,9 @@ class Synthesizer:
         """Stage the batch and launch stage A (async). Returns a handle for
         ``launch_decode``/``collect``.  ``fmt`` selects the on-device
         output encoding ('pcm16' int16@24k, 'mulaw8k' uint8 G.711@8k,
-        'f32' raw float@24k) and is part of the stage-B compile key.
+        'mulaw24k' uint8 G.711@24k wire codec expanded back to PCM by
+        ``collect``, 'f32' raw float@24k) and is part of the stage-B
+        compile key.
 
         The per-item frame totals (a [B] int32 array, ~100 bytes) start an
         async device->host copy immediately, so by the time ``launch_decode``
@@ -581,7 +590,13 @@ class Synthesizer:
 
         Returns float32 @24k by default, int16 @24k with ``pcm16=True``,
         or uint8 G.711 mu-law @8k when the handle was dispatched with
-        ``fmt='mulaw8k'`` (the ``pcm16`` flag is ignored then)."""
+        ``fmt='mulaw8k'`` (the ``pcm16`` flag is ignored then).
+
+        ``fmt='mulaw24k'`` handles are a pure wire codec: the device
+        shipped uint8 mu-law @24k (half the pcm16 transfer) and this
+        method expands it back to PCM @24k on the host (float32, or
+        int16 with ``pcm16=True``) via a 256-entry table — callers see
+        ordinary 24 kHz audio, quantized to the G.711 grid."""
         self.launch_decode(handle)
         audio_np = np.asarray(handle.audio)
         spf = self.config.samples_per_frame
@@ -589,10 +604,17 @@ class Synthesizer:
             from ..audio.telephony import RATIO
 
             spf //= RATIO  # 200 output samples per model frame
+        lut = None
+        if handle.fmt == "mulaw24k":
+            from ..audio.telephony import mulaw_lut
+
+            lut = mulaw_lut(np.int16 if pcm16 else np.float32)
         out = []
         for i in range(handle.n):
             clip = audio_np[i, : int(handle.fitted_totals[i]) * spf]
-            if handle.fmt == "pcm16" and not pcm16:
+            if lut is not None:
+                clip = lut[clip]  # one gather per clip
+            elif handle.fmt == "pcm16" and not pcm16:
                 clip = clip.astype(np.float32) / 32767.0
             out.append(clip)
         return out
@@ -704,7 +726,10 @@ class Synthesizer:
         (halves the host transfer); ``pcm16=False`` converts back to
         float32 on the host. ``fmt='mulaw8k'``: the device emits uint8
         G.711 mu-law @8k (12x less transfer; telephony serving) and the
-        return is the raw mu-law bytes per item. Batches larger than the
+        return is the raw mu-law bytes per item. ``fmt='mulaw24k'``: the
+        device emits uint8 mu-law @24k (half the pcm16 transfer — the
+        serving loop is transfer-bound, docs/ARCHITECTURE.md) and the
+        return is host-expanded PCM @24k. Batches larger than the
         biggest batch bucket are split into chunks, pipelined so chunk
         k+1's stage A overlaps chunk k's decode."""
         if not phonemes_list:

@@ -52,7 +52,19 @@ class TTSPipeline:
         params_path: Optional[str] = None,
         fail_silent: bool = False,
         mesh=None,
+        wire_format: Optional[str] = None,
     ):
+        # wire_format='mulaw24k': deployment knob trading audio word depth
+        # for device->host bandwidth — PCM-format requests ('f32'/'pcm16')
+        # run stage B with the uint8 G.711@24k wire codec (half the pcm16
+        # device->host transfer; the serving loop is transfer-bound at b32,
+        # docs/ARCHITECTURE.md) and the host expands back to the requested
+        # PCM type. Explicit opt-in: audio lands on the 8-bit mu-law grid
+        # (G.711 speech quality at 24 kHz). Constant per pipeline, so the
+        # audio cache stays consistent.
+        if wire_format not in (None, "mulaw24k"):
+            raise ValueError(f"unknown wire_format: {wire_format!r}")
+        self.wire_format = wire_format
         self.repo_id = repo_id
         self.voices_dir = voices_dir
         self.device = device or "tpu"
@@ -96,6 +108,7 @@ class TTSPipeline:
         self.zh_normalizer = ZhTextNormalizer()
         self.en_normalizer = EnTextNormalizer()
         self.synthesizer = None
+        self.wire_format = None
 
     # --- voices ---------------------------------------------------------------
 
@@ -357,24 +370,23 @@ class TTSPipeline:
         (reference pipeline.py:556-614).
 
         ``output_format``: 'f32' (float32 @24k, default), 'pcm16'
-        (int16 @24k), or 'mulaw8k' (uint8 G.711 @8k — the resample +
-        companding run inside the decode program; audio/telephony.py)."""
+        (int16 @24k), 'mulaw8k' (uint8 G.711 @8k — the resample +
+        companding run inside the decode program; audio/telephony.py),
+        or 'mulaw24k' (int16 @24k delivered over a G.711 wire: the
+        device ships 1 byte/sample and the host expands — half the
+        pcm16 device->host transfer for 8-bit mu-law quality)."""
         if speeds is None:
             speeds = [1.0] * len(texts)
-        if output_format not in ("f32", "pcm16", "mulaw8k"):
+        if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         from .utils.profiling import TIMERS
 
         try:
             ipa_list = self._texts_to_ipa(texts)
             with TIMERS.track("model"):
-                if output_format == "mulaw8k":
-                    return self.synthesizer.synthesize_batch(
-                        ipa_list, voice_ids, speeds, fmt="mulaw8k"
-                    )
+                fmt, pcm16 = self._device_fmt(output_format)
                 return self.synthesizer.synthesize_batch(
-                    ipa_list, voice_ids, speeds,
-                    pcm16=(output_format == "pcm16"),
+                    ipa_list, voice_ids, speeds, pcm16=pcm16, fmt=fmt
                 )
         except Exception:
             if not self.fail_silent:
@@ -419,10 +431,10 @@ class TTSPipeline:
         from ~sum(stages) to ~max(compute, transfer) per batch (bench.py
         pinned loop). The batch must fit the largest batch bucket (the
         scheduler's batch_size always does)."""
-        if output_format not in ("f32", "pcm16", "mulaw8k"):
+        if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         ipa_list = self._texts_to_ipa(texts)
-        fmt = "mulaw8k" if output_format == "mulaw8k" else "pcm16"
+        fmt, _ = self._device_fmt(output_format)
         return self.synthesizer.dispatch(ipa_list, voice_ids, speeds, fmt=fmt)
 
     def launch_decode(self, handle):
@@ -435,8 +447,22 @@ class TTSPipeline:
 
         with TIMERS.track("model"):
             return self.synthesizer.collect(
-                handle, pcm16=(output_format == "pcm16")
+                handle, pcm16=(output_format in ("pcm16", "mulaw24k"))
             )
+
+    def _device_fmt(self, output_format: str):
+        """Map a requested output format to ``(device fmt, pcm16 flag)``
+        for the synthesizer. PCM formats ('f32'/'pcm16') ride the G.711
+        wire codec when ``wire_format='mulaw24k'`` is set — the device
+        ships 1 byte/sample and ``collect`` expands back to the requested
+        PCM type on the host."""
+        if output_format == "mulaw8k":
+            return "mulaw8k", False
+        if output_format == "mulaw24k":
+            return "mulaw24k", True
+        if self.wire_format == "mulaw24k":
+            return "mulaw24k", output_format == "pcm16"
+        return "pcm16", output_format == "pcm16"
 
     def _silence(self, output_format: str) -> np.ndarray:
         """One second of silence in the requested format (0xFF is the
@@ -445,7 +471,7 @@ class TTSPipeline:
             from .audio.telephony import TELEPHONY_RATE
 
             return np.full(TELEPHONY_RATE, 0xFF, np.uint8)
-        if output_format == "pcm16":
+        if output_format in ("pcm16", "mulaw24k"):
             return np.zeros(self.sample_rate, np.int16)
         return np.zeros(self.sample_rate, np.float32)
 
@@ -585,7 +611,7 @@ class CachedTTSPipeline(TTSPipeline):
         same hit/dedup scheme as batch_process_texts)."""
         if speeds is None:
             speeds = [1.0] * len(texts)
-        if output_format not in ("f32", "pcm16", "mulaw8k"):
+        if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         h = _CachedDispatch()
         h.uncached = []

@@ -60,7 +60,7 @@ class TTSTask:
     sequence_id: float = field(default_factory=time.time)
     audio_chunks: List[np.ndarray] = field(default_factory=list)
     debug_id: Optional[str] = None
-    output_format: str = "f32"  # 'f32' | 'pcm16' | 'mulaw8k'
+    output_format: str = "f32"  # 'f32' | 'pcm16' | 'mulaw8k' | 'mulaw24k'
 
     def to_status_dict(self) -> Dict[str, Any]:
         return {
@@ -88,7 +88,15 @@ class TTSServiceManager:
         audio_history_limit: int = 64,
         task_history_limit: int = 4096,
         pipeline_depth: int = 3,
+        wire_format: Optional[str] = None,
     ):
+        # wire_format='mulaw24k': deployment knob trading audio word depth
+        # for device->host bandwidth (see TTSPipeline.wire_format). Applies
+        # when this manager constructs its own pipeline; an injected
+        # `pipeline`'s own setting rules otherwise.
+        if wire_format not in (None, "mulaw24k"):
+            raise ValueError(f"unknown wire_format: {wire_format!r}")
+        self.wire_format = wire_format
         self.batch_size = batch_size
         self.max_wait_time = max_wait_time
         self.chunk_size = chunk_size
@@ -96,7 +104,8 @@ class TTSServiceManager:
         if output_dir:
             os.makedirs(output_dir, exist_ok=True)
         self.pipeline = pipeline or CachedTTSPipeline(
-            repo_id=repo_id, voices_dir=voices_dir, device=device
+            repo_id=repo_id, voices_dir=voices_dir, device=device,
+            wire_format=wire_format,
         )
         self.tasks: Dict[str, TTSTask] = {}
         # hot-loop indices (VERDICT r2 weak-6: the reference — and round 2
@@ -168,7 +177,7 @@ class TTSServiceManager:
         sequence_id: Optional[float] = None,
         output_format: str = "f32",
     ) -> str:
-        if output_format not in ("f32", "pcm16", "mulaw8k"):
+        if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         task_id = str(uuid.uuid4())
         # fail-fast voice validation off the event loop

@@ -154,3 +154,87 @@ class TestSynthesizerMulaw:
             b = mulaw_decode_np(host_u8)
             assert np.mean(np.abs(a - b)) < 2e-3
             assert np.corrcoef(a, b)[0, 1] > 0.999
+
+
+def test_mulaw_lut_matches_decode():
+    from illufly_tts_tpu.audio.telephony import mulaw_lut
+
+    codes = np.arange(256, dtype=np.uint8)
+    np.testing.assert_array_equal(mulaw_lut(np.float32), mulaw_decode_np(codes))
+    np.testing.assert_array_equal(
+        mulaw_lut(np.int16),
+        np.round(mulaw_decode_np(codes) * 32767.0).astype(np.int16),
+    )
+
+
+@pytest.mark.slow
+class TestMulaw24kWire:
+    """fmt='mulaw24k': pure wire codec — uint8 G.711 @24 kHz on the link,
+    ordinary 24 kHz PCM delivered after the host LUT expansion."""
+
+    def _synth(self):
+        from illufly_tts_tpu.engine.synthesizer import Synthesizer
+        from tests.test_model import tiny_config
+
+        synth = Synthesizer(
+            config=tiny_config(), token_buckets=(16,), frame_buckets=(32,)
+        )
+        synth.register_random_voice("v", seed=3)
+        return synth
+
+    def test_wire_matches_pcm16_path(self):
+        from illufly_tts_tpu.audio.telephony import mulaw_lut
+
+        synth = self._synth()
+        texts = ["ni→xau↓", "tsʰɤ↘ʂɨ↘"]
+        wire = synth.synthesize_batch(
+            texts, ["v"] * 2, fmt="mulaw24k", pcm16=True
+        )
+        pcm = synth.synthesize_batch(
+            texts, ["v"] * 2, fmt="pcm16", pcm16=True
+        )
+        grid = set(mulaw_lut(np.int16).tolist())
+        for w, p in zip(wire, pcm):
+            assert w.dtype == np.int16 and w.size == p.size
+            # every delivered sample sits on the 256-level mu-law grid
+            assert set(np.unique(w).tolist()) <= grid
+            # bf16 numerics reorder across programs: compare waveforms
+            # against the host-side mu-law roundtrip of the pcm16 path
+            host = mulaw_lut(np.int16)[mulaw_encode_np(p)]
+            diff = np.abs(w.astype(np.float32) - host.astype(np.float32))
+            assert np.mean(diff) / 32767.0 < 2e-3
+
+    def test_wire_f32_delivery(self):
+        from illufly_tts_tpu.audio.telephony import mulaw_lut
+
+        synth = self._synth()
+        out = synth.synthesize_batch(["ni→xau↓"], ["v"], fmt="mulaw24k")
+        assert out[0].dtype == np.float32
+        assert set(np.unique(out[0]).tolist()) <= set(
+            mulaw_lut(np.float32).tolist()
+        )
+
+    def test_pipeline_wire_format_knob(self):
+        """wire_format='mulaw24k' on the pipeline: PCM requests ride the
+        wire codec transparently (split-phase path included) and the
+        audio cache stays per-requested-format."""
+        from illufly_tts_tpu.pipeline import CachedTTSPipeline
+        from illufly_tts_tpu.audio.telephony import mulaw_lut
+
+        pipe = CachedTTSPipeline(
+            synthesizer=self._synth(), wire_format="mulaw24k"
+        )
+        texts = ["你好"]
+        f32 = pipe.batch_process_texts(texts, ["v"], output_format="f32")
+        assert f32[0].dtype == np.float32
+        assert set(np.unique(f32[0]).tolist()) <= set(
+            mulaw_lut(np.float32).tolist()
+        )
+        # split-phase surface delivers the requested PCM type too
+        h = pipe.dispatch_texts(texts, ["v"], output_format="pcm16")
+        pipe.launch_decode(h)
+        out = pipe.collect_batch(h, output_format="pcm16")
+        assert out[0].dtype == np.int16
+        assert set(np.unique(out[0]).tolist()) <= set(
+            mulaw_lut(np.int16).tolist()
+        )
