@@ -277,8 +277,14 @@ def api(host, port, server_host, server_port, process_command, process_args):
 @click.option("--data", "data_dir", default=None,
               help="dataset dir (metadata.csv+wavs/ or paired wav+txt); "
                    "switches to the mel-L1 + multi-res-STFT objective")
+@click.option("--adversarial", is_flag=True,
+              help="add the HiFi-GAN LSGAN objective (MultiPeriod + "
+                   "MultiResolution discriminators, feature matching)")
+@click.option("--disc-lr", default=2e-4, type=float,
+              help="discriminator learning rate (with --adversarial)")
 def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
-          checkpoint_every, dp, device, tiny, seed, data_dir):
+          checkpoint_every, dp, device, tiny, seed, data_dir, adversarial,
+          disc_lr):
     """Train the model (teacher-distillation on synthetic data by
     default, real speech data via --data; the reference ships no
     training code — SURVEY §0)."""
@@ -324,6 +330,7 @@ def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
         frames=frames, learning_rate=lr, mesh=mesh,
         checkpoint_dir=checkpoint_dir, resume=resume,
         checkpoint_every=checkpoint_every, seed=seed, data_dir=data_dir,
+        adversarial=adversarial, disc_lr=disc_lr,
     )
     click.echo(f"done: {metrics}")
 

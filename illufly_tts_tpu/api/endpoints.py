@@ -149,11 +149,17 @@ def create_app(
                 # smaller remote-tunnel drain. absorb=True runs one
                 # throwaway call after the compiles so that drain
                 # completes before traffic arrives (absorb_drain)
+                # PCM requests dispatch mulaw24k stage B when the wire
+                # codec is on — warm the format traffic will actually hit
+                fmts = ("mulaw24k",) if wire_format == "mulaw24k" else (
+                    "pcm16",
+                )
                 await asyncio.to_thread(
                     lambda: warmup(
                         batch_sizes=tuple(sorted({1, batch_size})),
                         token_sizes=(64, 256),
                         frame_sizes=(256, 512),
+                        formats=fmts,
                         absorb=True,
                     )
                 )

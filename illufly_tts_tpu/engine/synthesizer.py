@@ -779,6 +779,7 @@ class Synthesizer:
         one batch of synthesis. Returns elapsed seconds."""
         import time
 
+        fmt = "pcm16"
         if batch is None or tokens is None:
             serving = [
                 k for k in self._stage_b if isinstance(k[0], int)
@@ -787,6 +788,7 @@ class Synthesizer:
                 key = max(serving)  # largest warmed (b, t, f, fmt)
                 batch = batch if batch is not None else key[0]
                 tokens = tokens if tokens is not None else key[1]
+                fmt = key[3]  # hit the warmed format, not a fresh compile
             else:
                 batch = batch or 1
                 tokens = tokens or self.token_buckets[0]
@@ -799,7 +801,7 @@ class Synthesizer:
         if fresh:
             self.register_random_voice(vid, seed=0)
         try:
-            h = self.dispatch([phon] * batch, [vid] * batch)
+            h = self.dispatch([phon] * batch, [vid] * batch, fmt=fmt)
             self.launch_decode(h)
             self.collect(h, pcm16=True)
         finally:

@@ -25,7 +25,7 @@ from .checkpoint import (
     restore_train_state,
     save_train_state,
 )
-from .step import TrainBatch, make_train_step
+from .step import TrainBatch, make_gan_train_step, make_train_step
 
 logger = logging.getLogger(__name__)
 
@@ -103,11 +103,22 @@ def train(
     data_dir: Optional[str] = None,
     spectral: Optional[bool] = None,
     on_metrics=None,
+    adversarial: bool = False,
+    disc_lr: float = 2e-4,
+    disc_kwargs: Optional[dict] = None,
 ):
     """Run ``steps`` optimizer steps; returns (params, opt_state, metrics).
 
     With ``mesh``, the batch shards over 'data' and params per
-    parallel/mesh.py (the same layout dryrun_multichip validates)."""
+    parallel/mesh.py (the same layout dryrun_multichip validates).
+
+    ``adversarial=True`` adds the HiFi-GAN LSGAN objective on top of the
+    reconstruction terms: a MultiPeriod + MultiResolution discriminator
+    ensemble (training/discriminator.py) trains alongside the generator
+    (D step on detached audio, then G step with adversarial + feature-
+    matching losses — training/step.py::make_gan_train_step). The
+    discriminator checkpoints under ``{checkpoint_dir}/disc`` so resume
+    continues both players."""
     # the random-init generator's exp() magnitudes reach O(1e4); without
     # clipping the first waveform-gradient step NaNs the decoder
     optimizer = optax.chain(
@@ -172,9 +183,42 @@ def train(
                 model, teacher_params, batch_size, tokens, frames,
                 seed=seed,
             )
-    step_fn = jax.jit(make_train_step(
-        model, optimizer, num_frames=frames, spectral=bool(spectral)
-    ))
+    d_params = d_opt_state = d_optimizer = None
+    if adversarial:
+        from .discriminator import HiFiGANDiscriminator
+
+        disc = HiFiGANDiscriminator(**(disc_kwargs or {}))
+        dummy = jnp.zeros(
+            (1, frames * model.config.samples_per_frame), jnp.float32
+        )
+        d_params = disc.init(jax.random.PRNGKey(seed + 1), dummy)
+        d_optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adamw(disc_lr),
+        )
+        if mesh is not None:
+            # replicate the (small) discriminator; the batch dim carries
+            # the data parallelism through its purely-local convs
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            d_params = jax.device_put(
+                d_params, NamedSharding(mesh, PartitionSpec())
+            )
+        d_opt_state = d_optimizer.init(d_params)
+        if resume and checkpoint_dir:
+            d_path = latest_checkpoint(f"{checkpoint_dir}/disc")
+            if d_path:
+                d_params, d_opt_state, _ = restore_train_state(
+                    d_path, d_params, d_opt_state
+                )
+                logger.info("resumed discriminator from %s", d_path)
+        step_fn = jax.jit(make_gan_train_step(
+            model, disc, optimizer, d_optimizer, num_frames=frames
+        ))
+    else:
+        step_fn = jax.jit(make_train_step(
+            model, optimizer, num_frames=frames, spectral=bool(spectral)
+        ))
 
     metrics = {}
     last_saved = -1
@@ -185,12 +229,19 @@ def train(
             batch = TrainBatch(*(
                 jax.device_put(x, data_sharding) for x in batch
             ))
-        params, opt_state, metrics = step_fn(params, opt_state, batch)
+        if adversarial:
+            params, d_params, opt_state, d_opt_state, metrics = step_fn(
+                params, d_params, opt_state, d_opt_state, batch
+            )
+        else:
+            params, opt_state, metrics = step_fn(params, opt_state, batch)
         if log_every and (step + 1) % log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
             logger.info(
-                "step %d: loss=%.4f dur=%.4f audio=%.4f (%.2f s/step)",
+                "step %d: loss=%.4f dur=%.4f audio=%.4f%s (%.2f s/step)",
                 step + 1, m["loss"], m["dur_loss"], m["audio_loss"],
+                (" d=%.4f adv=%.4f" % (m["d_loss"], m["adv_loss"])
+                 if "d_loss" in m else ""),
                 (time.perf_counter() - t0) / log_every,
             )
             if on_metrics is not None:
@@ -202,9 +253,19 @@ def train(
             and (step + 1) % checkpoint_every == 0
         ):
             save_train_state(checkpoint_dir, step + 1, params, opt_state)
+            if adversarial:
+                save_train_state(
+                    f"{checkpoint_dir}/disc", step + 1, d_params,
+                    d_opt_state,
+                )
             last_saved = step + 1
     if checkpoint_dir and last_saved != start_step + steps:
         save_train_state(
             checkpoint_dir, start_step + steps, params, opt_state
         )
+        if adversarial:
+            save_train_state(
+                f"{checkpoint_dir}/disc", start_step + steps, d_params,
+                d_opt_state,
+            )
     return params, opt_state, {k: float(v) for k, v in metrics.items()}

@@ -144,3 +144,45 @@ def test_real_data_training_overfits(tmp_path):
     assert np.mean(mels[-2:]) < np.mean(mels[:2]), mels
     assert stfts[-1] < 0.65 * stfts[0], stfts
     assert durs[-1] < 0.7 * durs[0], durs
+
+
+def test_adversarial_training(setup, tmp_path):
+    """GAN mode (HiFi-GAN recipe): D+G steps run, every loss term is
+    finite, the discriminator learns (d_loss drops on a fixed batch),
+    and both players checkpoint + resume."""
+    model, teacher, tokens, frames = setup
+    ckpt = str(tmp_path / "gan_ckpt")
+    disc_kwargs = dict(
+        periods=(2, 3), resolutions=((128, 32), (256, 64)),
+        base_channels=8, max_channels=32,
+    )
+    batches = synthetic_batches(model, teacher, 2, tokens, frames, seed=3)
+    first = next(batches)
+    history = []
+    _, _, m = train(
+        model, teacher, steps=8, batch_size=2, tokens=tokens,
+        frames=frames, learning_rate=1e-4, log_every=1,
+        checkpoint_dir=ckpt, checkpoint_every=0,
+        batches=iter([first] * 8), adversarial=True,
+        disc_kwargs=disc_kwargs,
+        on_metrics=lambda step, mm: history.append(mm),
+    )
+    for key in ("loss", "dur_loss", "mel_l1", "stft_loss", "adv_loss",
+                "fm_loss", "d_loss"):
+        assert key in m and jnp.isfinite(m[key]), (key, m)
+    # LSGAN D objective starts near sum(1+0)=n_subs on a fresh D and
+    # drops as it separates real from fake on the fixed batch
+    assert history[-1]["d_loss"] < history[0]["d_loss"], history
+    # both players checkpointed; resume restores them
+    from illufly_tts_tpu.training.checkpoint import latest_checkpoint
+
+    assert latest_checkpoint(ckpt) is not None
+    assert latest_checkpoint(ckpt + "/disc") is not None
+    _, _, m2 = train(
+        model, teacher, steps=1, batch_size=2, tokens=tokens,
+        frames=frames, learning_rate=1e-4, log_every=0,
+        checkpoint_dir=ckpt, resume=True, checkpoint_every=0,
+        batches=iter([first]), adversarial=True,
+        disc_kwargs=disc_kwargs,
+    )
+    assert jnp.isfinite(m2["loss"])
