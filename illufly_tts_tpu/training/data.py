@@ -181,3 +181,38 @@ def dataset_batches(
             target_dur=jnp.asarray(target_dur),
             target_audio=jnp.asarray(target_audio),
         )
+
+
+def prefetch(batches: Iterator[TrainBatch], depth: int = 2):
+    """Wrap a batch iterator with a background producer thread.
+
+    Dataset batches are host-built (wav decode + the Python frontend +
+    numpy packing) — run synchronously they serialize with the device
+    step and starve the TPU. A daemon thread keeps up to ``depth``
+    batches ready in a bounded queue, so host prep of batch k+1 overlaps
+    the device's step k (the training-side analogue of the serving
+    scheduler's decode-ahead). Producer exceptions re-raise at the
+    consumer's next pull; ordering is preserved."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def produce():
+        try:
+            for b in batches:
+                q.put(b)
+        except BaseException as exc:  # re-raise in the consumer
+            q.put((_END, exc))
+            return
+        q.put((_END, None))
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+            if item[1] is not None:
+                raise item[1]
+            return
+        yield item

@@ -171,11 +171,13 @@ def train(
                 style_dim=2 * model.config.style_dim,
                 samples_per_frame=model.config.samples_per_frame,
             )
-            batches = dataset_batches(
+            from .data import prefetch
+
+            batches = prefetch(dataset_batches(
                 dataset, batch_size, tokens, frames,
                 model.config.samples_per_frame, seed=seed,
                 vocab_size=model.config.albert.vocab_size,
-            )
+            ))
             if spectral is None:
                 spectral = True
         else:

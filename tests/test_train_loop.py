@@ -10,6 +10,7 @@ pytestmark = pytest.mark.slow  # model-compile-heavy (see pyproject markers)
 
 from illufly_tts_tpu.model.kokoro import KokoroModel
 from illufly_tts_tpu.training.loop import synthetic_batches, train
+from illufly_tts_tpu.training.step import TrainBatch
 from tests.test_model import tiny_config
 
 
@@ -186,3 +187,24 @@ def test_adversarial_training(setup, tmp_path):
         disc_kwargs=disc_kwargs,
     )
     assert jnp.isfinite(m2["loss"])
+
+
+def test_prefetch_preserves_order_and_errors():
+    from illufly_tts_tpu.training.data import prefetch
+
+    items = [
+        TrainBatch(*(jnp.full((1, 2), float(i)),) * 5) for i in range(6)
+    ]
+    out = list(prefetch(iter(items), depth=2))
+    assert len(out) == 6
+    for i, b in enumerate(out):
+        assert float(b.input_ids[0, 0]) == float(i)
+
+    def boom():
+        yield items[0]
+        raise RuntimeError("producer failed")
+
+    it = prefetch(boom(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="producer failed"):
+        next(it)
