@@ -142,23 +142,57 @@ def create_app(
             )
             if callable(warmup):
                 logger.info("warming compiled bucket inventory...")
-                # warm only the buckets this server actually dispatches:
-                # batch 1 + the configured batch size, the chunk_size
-                # token regime, and the two common frame buckets — a
-                # slimmer inventory both compiles faster and leaves a
-                # smaller remote-tunnel drain. absorb=True runs one
-                # throwaway call after the compiles so that drain
-                # completes before traffic arrives (absorb_drain)
+                # warm a slim inventory AND narrow the dispatcher to it,
+                # so every shape traffic can produce is warm: without the
+                # narrowing a partial batch (3 tasks -> bucket 4), a short
+                # text (-> token bucket 16) or a short utterance (-> frame
+                # bucket 64) cold-compiles at traffic time — minutes of
+                # tail latency through the remote tunnel. Padding to the
+                # warm bucket costs masked compute instead. The large
+                # frame/token escape hatches stay for content that needs
+                # them (persistent cache catches the one-time compile).
+                # absorb=True runs one throwaway call after the compiles
+                # so the tunnel drain completes before traffic arrives.
                 # PCM requests dispatch mulaw24k stage B when the wire
                 # codec is on — warm the format traffic will actually hit
                 fmts = ("mulaw24k",) if wire_format == "mulaw24k" else (
                     "pcm16",
                 )
+                synth = manager.pipeline.synthesizer
+
+                def narrowed(inventory, preferred):
+                    # warmed buckets from the instance's OWN inventory
+                    # (hardcoding shapes breaks non-default configs whose
+                    # models can't run them), keeping larger escape
+                    # hatches for content that needs them
+                    warmed = tuple(
+                        x for x in preferred if x in inventory
+                    ) or tuple(inventory)
+                    hi = max(warmed)
+                    kept = sorted(
+                        {*warmed, *(x for x in inventory if x > hi)}
+                    )
+                    return warmed, tuple(kept)
+
+                batch_sizes = tuple(sorted({1, batch_size}))
+                warm_tokens, warm_frames = (64, 256), (256, 512)
+                # duck-typed pipelines (tests, remote shims) may not
+                # expose the bucket inventories — narrow only when real
+                if getattr(synth, "token_buckets", None):
+                    warm_tokens, synth.token_buckets = narrowed(
+                        synth.token_buckets, warm_tokens
+                    )
+                if getattr(synth, "frame_buckets", None):
+                    warm_frames, synth.frame_buckets = narrowed(
+                        synth.frame_buckets, warm_frames
+                    )
+                if getattr(synth, "batch_buckets", None):
+                    synth.batch_buckets = batch_sizes
                 await asyncio.to_thread(
                     lambda: warmup(
-                        batch_sizes=tuple(sorted({1, batch_size})),
-                        token_sizes=(64, 256),
-                        frame_sizes=(256, 512),
+                        batch_sizes=batch_sizes,
+                        token_sizes=warm_tokens,
+                        frame_sizes=warm_frames,
                         formats=fmts,
                         absorb=True,
                     )

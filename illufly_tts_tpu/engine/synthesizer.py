@@ -69,6 +69,7 @@ class Synthesizer:
         mesh=None,
         token_buckets: Sequence[int] = TOKEN_BUCKETS,
         frame_buckets: Sequence[int] = FRAME_BUCKETS,
+        batch_buckets: Sequence[int] = BATCH_BUCKETS,
         repo_id: str = "",
     ):
         from ..utils.compile_cache import enable_compilation_cache
@@ -90,6 +91,10 @@ class Synthesizer:
             self._batch_sharding = batch_sharding(mesh)
         self.token_buckets = token_buckets
         self.frame_buckets = frame_buckets
+        # serving deployments narrow this to the warmed inventory (e.g.
+        # (1, batch_size)) so partial batches pad to a warm bucket
+        # instead of cold-compiling an intermediate shape at traffic time
+        self.batch_buckets = tuple(sorted(batch_buckets))
         self.sample_rate = self.config.sample_rate
         self._voices: Dict[str, np.ndarray] = {}  # host-side [L, 256]
         self._lock = threading.Lock()
@@ -364,29 +369,6 @@ class Synthesizer:
 
     # --- ahead-of-time warmup --------------------------------------------------
 
-    def _stage_a_arg_structs(self, batch: int, tokens: int):
-        f32 = jnp.float32
-        return (
-            jax.eval_shape(lambda p: p, self.params),
-            jax.ShapeDtypeStruct((batch, tokens), jnp.int32),
-            jax.ShapeDtypeStruct((batch, tokens), f32),
-            jax.ShapeDtypeStruct((batch, 2 * self.config.style_dim), f32),
-            jax.ShapeDtypeStruct((batch,), f32),
-        )
-
-    def _stage_b_arg_structs(self, batch: int, tokens: int):
-        f32 = jnp.float32
-        params_s, ids_s, mask_s, ref_s, _ = self._stage_a_arg_structs(
-            batch, tokens
-        )
-        a_fn = self._stage_a_fn()
-        d_s, _, _ = jax.eval_shape(
-            a_fn, params_s, ids_s, mask_s, ref_s,
-            jax.ShapeDtypeStruct((batch,), f32),
-        )
-        dur_s = jax.ShapeDtypeStruct((batch, tokens), jnp.int32)
-        return (params_s, ids_s, mask_s, d_s, dur_s, ref_s)
-
     def compile_stage_a(self, batch: int, tokens: int) -> float:
         """Compile stage A for (batch, tokens) THROUGH the serving jit
         path (zero-filled device inputs, result discarded); returns wall
@@ -401,7 +383,6 @@ class Synthesizer:
 
         t0 = time.perf_counter()
         fn = self._get_stage_a(batch, tokens)
-        params_s, _, _, _, _ = self._stage_a_arg_structs(batch, tokens)
         ids = jnp.zeros((batch, tokens), jnp.int32)
         mask = jnp.ones((batch, tokens), jnp.float32)
         ref = jnp.zeros((batch, 2 * self.config.style_dim), jnp.float32)
@@ -467,11 +448,11 @@ class Synthesizer:
         between (the scheduler, bench.py) never stall on it. This removes
         the blocking readback flagged in round 1 (VERDICT weak #4)."""
         n = len(phonemes_list)
-        if n > BATCH_BUCKETS[-1]:
+        if n > self.batch_buckets[-1]:
             raise ValueError(
                 f"batch of {n} exceeds the largest batch bucket "
-                f"{BATCH_BUCKETS[-1]}; split it (synthesize_batch does "
-                "this automatically)"
+                f"{self.batch_buckets[-1]}; split it (synthesize_batch "
+                "does this automatically)"
             )
         if speeds is None:
             speeds = [1.0] * n
@@ -495,11 +476,11 @@ class Synthesizer:
         # axis to 12): {1,2,4,8,...} with n_data=6 -> {6,12,18,36,66};
         # compile keys include b_bucket, so shapes stay static + cached.
         if self.mesh is None:
-            b_bucket = pick(BATCH_BUCKETS, n)
+            b_bucket = pick(self.batch_buckets, n)
         else:
             n_data = self.mesh.shape["data"]
             candidates = sorted({
-                -(-b // n_data) * n_data for b in BATCH_BUCKETS
+                -(-b // n_data) * n_data for b in self.batch_buckets
             })
             b_bucket = next(
                 (c for c in candidates if c >= n), candidates[-1]
@@ -616,6 +597,10 @@ class Synthesizer:
                 clip = lut[clip]  # one gather per clip
             elif handle.fmt == "pcm16" and not pcm16:
                 clip = clip.astype(np.float32) / 32767.0
+            elif handle.fmt == "f32" and pcm16:
+                clip = np.clip(
+                    clip.astype(np.float32) * 32767.0, -32768, 32767
+                ).astype(np.int16)
             out.append(clip)
         return out
 
@@ -688,7 +673,10 @@ class Synthesizer:
             handle.b_bucket, 2 * window_frames, 2 * halo_frames
         )
         spf = self.config.samples_per_frame
-        overlap = 2 * halo_frames * 300  # samples shared by neighbours
+        # decode_window works in generator-frame (2F) units at spf/2
+        # samples each: the halo of 2*halo_frames generator frames spans
+        # halo_frames*spf samples shared by neighbouring windows
+        overlap = 2 * halo_frames * (spf // 2)
         ramp = np.linspace(0.0, 1.0, overlap, dtype=np.float32)[None, :]
         max_total = int(handle.fitted_totals[: handle.n].max())
         body = window_frames * spf
@@ -736,7 +724,7 @@ class Synthesizer:
             return []
         if speeds is None:
             speeds = [1.0] * len(phonemes_list)
-        max_b = BATCH_BUCKETS[-1]
+        max_b = self.batch_buckets[-1]
         n = len(phonemes_list)
         if n <= max_b:
             return self.collect(
@@ -780,18 +768,25 @@ class Synthesizer:
         import time
 
         fmt = "pcm16"
-        if batch is None or tokens is None:
-            serving = [
-                k for k in self._stage_b if isinstance(k[0], int)
+        serving = [k for k in self._stage_b if isinstance(k[0], int)]
+        if serving:
+            # hit a warmed executable, not a fresh compile: prefer a key
+            # matching the requested (batch, tokens) so explicit args
+            # still pick up the warmed FORMAT (a pcm16 default here with
+            # --audio-wire mulaw24k warmed would trigger the very cold
+            # compile this call exists to absorb)
+            matching = [
+                k for k in serving
+                if (batch is None or k[0] == batch)
+                and (tokens is None or k[1] == tokens)
             ]
-            if serving:
-                key = max(serving)  # largest warmed (b, t, f, fmt)
-                batch = batch if batch is not None else key[0]
-                tokens = tokens if tokens is not None else key[1]
-                fmt = key[3]  # hit the warmed format, not a fresh compile
-            else:
-                batch = batch or 1
-                tokens = tokens or self.token_buckets[0]
+            key = max(matching or serving)  # largest (b, t, f, fmt)
+            batch = batch if batch is not None else key[0]
+            tokens = tokens if tokens is not None else key[1]
+            fmt = key[3]
+        else:
+            batch = batch or 1
+            tokens = tokens or self.token_buckets[0]
         t0 = time.perf_counter()
         # characters straight from the model vocab, so the token bucket
         # resolves to `tokens` exactly and hits the warmed executables
@@ -843,10 +838,12 @@ class Synthesizer:
             self.register_random_voice("__warmup__", seed=1)
             for b in batch_sizes:
                 for t in token_sizes:
-                    fake = "ni→xau↓" * max(1, (t - 2) // 8)
-                    self.synthesize_batch(
-                        [fake[: t - 2]] * b, ["__warmup__"] * b
-                    )
+                    for fmt in formats:
+                        fake = "ni→xau↓" * max(1, (t - 2) // 8)
+                        self.synthesize_batch(
+                            [fake[: t - 2]] * b, ["__warmup__"] * b,
+                            fmt=fmt,
+                        )
             dt = time.perf_counter() - t0
             if absorb:
                 self.last_drain_s = self.absorb_drain()

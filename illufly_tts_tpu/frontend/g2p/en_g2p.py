@@ -533,8 +533,19 @@ class EnglishG2P:
         for m in self._TOKEN_RE.finditer(text):
             if m.group(1) is not None:  # markdown link
                 feature = self._parse_feature(m.group(2))
-                for word in m.group(1).split():
-                    raw.append((word, feature))
+                words = m.group(1).split()
+                if feature and feature[0] in ("phonemes", "alias"):
+                    # whole-span features: the link text is spoken ONCE
+                    # as the given phonemes/alias — attaching the feature
+                    # per word would repeat it len(words) times
+                    raw.append((" ".join(words), feature))
+                else:
+                    # per-word features (stress); keep the spaces between
+                    # words so the output isn't run together
+                    for i, word in enumerate(words):
+                        if i:
+                            raw.append((" ", None))
+                        raw.append((word, feature))
             else:
                 raw.append((m.group(0), None))
         out: List[Tuple[str, bool, Optional[tuple]]] = []

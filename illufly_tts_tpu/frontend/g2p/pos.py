@@ -113,8 +113,8 @@ def _closed_class(lower: str) -> Optional[str]:
         return "RB"
     if lower in WH_WORDS:
         return WH_WORDS[lower]
-    if lower in ("there",):
-        return "EX"
+    # 'there' tags RB via ADVERBS above; no consumer keys on EX, so the
+    # existential reading needs no separate tag
     return None
 
 

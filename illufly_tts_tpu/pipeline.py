@@ -413,8 +413,9 @@ class TTSPipeline:
         through ``dispatch_texts``/``launch_decode``/``collect_batch``
         instead of the blocking ``batch_process_texts``. ``fail_silent``
         pipelines opt out (the silence fallback is a batch_process_texts
-        behavior); the cached subclass opts out (its audio cache wraps
-        batch_process_texts)."""
+        behavior). The cached subclass PARTICIPATES: it overrides the
+        split-phase surface with cache-hit pre-fill (see
+        CachedTTSPipeline.dispatch_texts)."""
         return not self.fail_silent
 
     def dispatch_texts(

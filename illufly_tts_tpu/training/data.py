@@ -197,22 +197,41 @@ def prefetch(batches: Iterator[TrainBatch], depth: int = 2):
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
     _END = object()
+
+    def put(item) -> bool:
+        # bounded put that notices consumer shutdown: a plain q.put would
+        # block forever once the consumer abandons the generator (train()
+        # stops after `steps`), pinning the thread + `depth` device-memory
+        # batches per call
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def produce():
         try:
             for b in batches:
-                q.put(b)
+                if not put(b):
+                    return
         except BaseException as exc:  # re-raise in the consumer
-            q.put((_END, exc))
+            put((_END, exc))
             return
-        q.put((_END, None))
+        put((_END, None))
 
     threading.Thread(target=produce, daemon=True).start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 \
+                    and item[0] is _END:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()

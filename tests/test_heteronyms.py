@@ -157,3 +157,17 @@ def test_markdown_link_features(g2p):
     assert "ˌ" in out and "pɹ" in out
     # [word](#alias#) pronounce-as
     assert "dˈɑktɚ" in g2p.text_to_ipa("[Dr](#doctor#) Smith")
+
+
+def test_markdown_link_multiword(g2p):
+    # a multi-word link with literal phonemes is spoken ONCE, not once
+    # per word (regression: the feature used to attach to every word)
+    out = g2p.text_to_ipa("[New York](/nuˌjˈɔɹk/) city")
+    assert out.count("nuˌjˈɔɹk") == 1
+    assert "nuˌjˈɔɹknuˌjˈɔɹk" not in out
+    # same for aliases
+    out = g2p.text_to_ipa("[the big apple](#manhattan#) tour")
+    assert out.count(g2p.word_to_ipa("manhattan")) == 1
+    # per-word stress features keep word boundaries (no run-together)
+    out = g2p.text_to_ipa("[big apple](-1) pie")
+    assert " " in out.strip()

@@ -187,6 +187,48 @@ def test_split_phase_dispatch_api(synth):
         np.testing.assert_allclose(a, b, atol=1e-6)
 
 
+def test_batch_bucket_narrowing(synth):
+    """Serving narrows batch_buckets to the warmed inventory so a partial
+    batch pads to a warm bucket instead of cold-compiling an intermediate
+    shape at traffic time (api/endpoints.py startup warmup)."""
+    old = synth.batch_buckets
+    try:
+        synth.batch_buckets = (1, 8)
+        h = synth.dispatch(["ni→xau↓"] * 3, ["test_voice"] * 3)
+        assert h.b_bucket == 8
+        out = synth.collect(h)
+        assert len(out) == 3
+    finally:
+        synth.batch_buckets = old
+
+
+def test_collect_f32_pcm16(synth):
+    """pcm16=True on an f32-dispatched handle converts on host instead of
+    silently returning float32."""
+    h = synth.dispatch(["ni→xau↓"], ["test_voice"], fmt="f32")
+    out = synth.collect(h, pcm16=True)
+    assert out[0].dtype == np.int16
+
+
+def test_absorb_drain_warmed_format_with_args():
+    """absorb_drain(batch=, tokens=) must hit the warmed FORMAT for that
+    shape — hardcoding pcm16 would trigger the very cold compile the
+    call exists to absorb (serve --audio-wire mulaw24k regression).
+    Fresh instance: a server process warms exactly one format."""
+    s = Synthesizer(
+        config=tiny_config(), token_buckets=(16,), frame_buckets=(32, 64),
+    )
+    s.register_random_voice("v", seed=3)
+    s.warmup(batch_sizes=(1,), token_sizes=(16,),
+             frame_sizes=(32, 64), formats=("f32",))
+    keys = set(s._stage_b)
+    s.absorb_drain(batch=1, tokens=16)
+    new = set(s._stage_b) - keys
+    assert not any(
+        isinstance(k[0], int) and k[3] != "f32" for k in new
+    ), new
+
+
 def test_absorb_drain(synth):
     """absorb_drain runs one throwaway serving call against the warmed
     inventory (remote-tunnel queue absorber; round-3 cold-start work),

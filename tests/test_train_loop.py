@@ -208,3 +208,34 @@ def test_prefetch_preserves_order_and_errors():
     next(it)
     with pytest.raises(RuntimeError, match="producer failed"):
         next(it)
+
+
+def test_prefetch_stops_producer_on_abandon():
+    """Abandoning the consumer (train() stops after `steps` on an endless
+    dataset iterator) must release the producer thread instead of leaving
+    it blocked on the full queue forever."""
+    import threading
+    import time
+
+    from illufly_tts_tpu.training.data import prefetch
+
+    def endless():
+        i = 0
+        while True:
+            yield TrainBatch(*(jnp.full((1, 2), float(i)),) * 5)
+            i += 1
+
+    before = set(threading.enumerate())
+    it = prefetch(endless(), depth=2)
+    assert float(next(it).input_ids[0, 0]) == 0.0
+    it.close()  # GeneratorExit -> stop event
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        leaked = [
+            t for t in threading.enumerate()
+            if t not in before and t.is_alive()
+        ]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"producer thread leaked: {leaked}"
