@@ -89,8 +89,10 @@ class Synthesizer:
             from ..parallel.mesh import batch_sharding
 
             self._batch_sharding = batch_sharding(mesh)
-        self.token_buckets = token_buckets
-        self.frame_buckets = frame_buckets
+        # pick() assumes ascending order — a descending inventory would
+        # silently route everything to the largest bucket
+        self.token_buckets = tuple(sorted(token_buckets))
+        self.frame_buckets = tuple(sorted(frame_buckets))
         # serving deployments narrow this to the warmed inventory (e.g.
         # (1, batch_size)) so partial batches pad to a warm bucket
         # instead of cold-compiling an intermediate shape at traffic time
@@ -651,6 +653,12 @@ class Synthesizer:
         seam is equal-power crossfaded (the generator's AdaIN time
         statistics make windows approximate — see decode_window). The
         final chunk is trimmed to the batch's fitted frame total."""
+        if handle.d is None:
+            raise ValueError(
+                "handle was already decoded (launch_decode/collect "
+                "release the stage-A intermediates); stream_decode needs "
+                "a fresh dispatch() handle"
+            )
         totals_np = np.asarray(handle.totals)
         f_bucket = (
             self.frame_buckets[0] if len(self.frame_buckets) == 1

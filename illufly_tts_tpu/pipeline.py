@@ -17,6 +17,7 @@ from __future__ import annotations
 import logging
 import os
 import re
+import threading
 import time
 from typing import Dict, Generator, List, Optional, Sequence
 
@@ -35,7 +36,9 @@ logger = logging.getLogger(__name__)
 _CHUNK_PATTERN = re.compile(
     r"([一-鿿㐀-䶿豈-﫿]+)|"          # Chinese
     r"([a-zA-Z]+(?:[\s\-\'\"][a-zA-Z]+)*)|"                   # English words
-    r"((?:气温)?-?\d+(?:\.\d+)?(?:°C|℃|度|摄氏度)?)|"           # numbers
+    # NB no hanzi prefix here: 气温 etc. is always consumed by the Chinese
+    # alternative first; temperature context is inferred from prev_type
+    r"(-?\d+(?:\.\d+)?(?:°C|℃|度|摄氏度)?)|"                    # numbers
     r"([ -⁯⸀-⹿\'!\"#$%&\(\)*+,\-.\/:;<=>?@\[\]^_`{|}~]+)"
 )
 _CURRENCY_SYMBOLS = ("￥", "¥", "$", "€", "£", "₽", "₹")
@@ -164,7 +167,7 @@ class TTSPipeline:
                 number_text = match.group(3)
                 has_temp = any(
                     u in number_text
-                    for u in ("°C", "℃", "度", "摄氏度", "气温")
+                    for u in ("°C", "℃", "度", "摄氏度")
                 )
                 prev_type = chunks[-1][0] if chunks else None
                 prev_char = text[match.start() - 1:match.start()]
@@ -540,6 +543,10 @@ class CachedTTSPipeline(TTSPipeline):
         super().__init__(*args, **kwargs)
         self._cache: Dict[str, object] = {}
         self._audio_cache: Dict[str, np.ndarray] = {}
+        # the scheduler runs dispatch_texts concurrently from worker
+        # threads (pipeline_depth >= 2); unguarded check-then-pop
+        # eviction races once a cache hits its limit
+        self._cache_lock = threading.Lock()
         self.cache_stats = {
             f"{k}_{kind}": 0
             for k in ("voice", "text", "phoneme", "ipa")
@@ -548,22 +555,31 @@ class CachedTTSPipeline(TTSPipeline):
 
     def _cached(self, kind: str, key: str, compute):
         cache_key = f"{kind}:{key}"
-        if cache_key in self._cache:
-            self.cache_stats[f"{kind}_hits"] += 1
-            return self._cache[cache_key]
+        with self._cache_lock:
+            if cache_key in self._cache:
+                self.cache_stats[f"{kind}_hits"] += 1
+                return self._cache[cache_key]
         start = time.time()
+        # compute outside the lock: concurrent misses on the same key do
+        # duplicate work (benign) instead of serializing the frontend
         result = compute()
-        if len(self._cache) >= self.TEXT_CACHE_LIMIT:
-            self._cache.pop(next(iter(self._cache)))
-        self._cache[cache_key] = result
-        self.cache_stats[f"{kind}_misses"] += 1
+        with self._cache_lock:
+            if len(self._cache) >= self.TEXT_CACHE_LIMIT:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[cache_key] = result
+            self.cache_stats[f"{kind}_misses"] += 1
         logger.debug("%s cache miss (%.3fs)", kind, time.time() - start)
         return result
 
+    def _audio_cache_get(self, key: str) -> Optional[np.ndarray]:
+        with self._cache_lock:
+            return self._audio_cache.get(key)
+
     def _audio_cache_put(self, key: str, audio: np.ndarray) -> None:
-        if len(self._audio_cache) >= self.AUDIO_CACHE_LIMIT:
-            self._audio_cache.pop(next(iter(self._audio_cache)))
-        self._audio_cache[key] = audio
+        with self._cache_lock:
+            if len(self._audio_cache) >= self.AUDIO_CACHE_LIMIT:
+                self._audio_cache.pop(next(iter(self._audio_cache)))
+            self._audio_cache[key] = audio
 
     # cache keys are the full input string — Python's 64-bit hash() (the
     # reference's key, pipeline.py:706-754) can collide and silently serve
@@ -605,6 +621,47 @@ class CachedTTSPipeline(TTSPipeline):
     def is_voice_loaded(self, voice_id: str) -> bool:
         return self.synthesizer.is_voice_loaded(voice_id)
 
+    @staticmethod
+    def _audio_key(fmt: str, voice: str, speed, text: str) -> str:
+        # the ONE place the audio-cache key format is spelled
+        return f"audio:{fmt}:{voice}:{speed}:{text}"
+
+    def _plan_audio_batch(self, texts, voice_ids, speeds, output_format):
+        """Shared hit/dedup plan for the split-phase and blocking paths:
+        -> (results with hits pre-filled, uncached rows, row->unique-slot
+        map, row->cache-key map, unique compute rows)."""
+        results: List[Optional[np.ndarray]] = []
+        uncached: List[int] = []
+        for i, (text, voice, speed) in enumerate(
+            zip(texts, voice_ids, speeds)
+        ):
+            audio = self._audio_cache_get(
+                self._audio_key(output_format, voice, speed, text)
+            )
+            results.append(audio)
+            if audio is None:
+                uncached.append(i)
+        # dedup identical (text, voice, speed) inside the batch
+        # (reference pipeline.py:574-584)
+        unique: Dict[tuple, int] = {}
+        compute_idx: List[int] = []
+        for i in uncached:
+            sig = (texts[i], voice_ids[i], speeds[i])
+            if sig not in unique:
+                unique[sig] = len(compute_idx)
+                compute_idx.append(i)
+        unique_row = {
+            i: unique[(texts[i], voice_ids[i], speeds[i])]
+            for i in uncached
+        }
+        keys = {
+            i: self._audio_key(
+                output_format, voice_ids[i], speeds[i], texts[i]
+            )
+            for i in uncached
+        }
+        return results, uncached, unique_row, keys, compute_idx
+
     def dispatch_texts(self, texts, voice_ids, speeds=None,
                        output_format="f32"):
         """Split-phase dispatch with the audio cache applied first: cached
@@ -615,36 +672,11 @@ class CachedTTSPipeline(TTSPipeline):
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         h = _CachedDispatch()
-        h.uncached = []
-        h.results = []
-        for i, (text, voice, speed) in enumerate(
-            zip(texts, voice_ids, speeds)
-        ):
-            key = f"audio:{output_format}:{voice}:{speed}:{text}"
-            if key in self._audio_cache:
-                h.results.append(self._audio_cache[key])
-            else:
-                h.uncached.append(i)
-                h.results.append(None)
+        (h.results, h.uncached, h.unique_row, h.keys,
+         compute_idx) = self._plan_audio_batch(
+            texts, voice_ids, speeds, output_format
+        )
         if h.uncached:
-            unique: Dict[tuple, int] = {}
-            compute_idx = []
-            for i in h.uncached:
-                sig = (texts[i], voice_ids[i], speeds[i])
-                if sig not in unique:
-                    unique[sig] = len(compute_idx)
-                    compute_idx.append(i)
-            h.unique_row = {
-                i: unique[(texts[i], voice_ids[i], speeds[i])]
-                for i in h.uncached
-            }
-            h.keys = {
-                i: (
-                    f"audio:{output_format}:{voice_ids[i]}:"
-                    f"{speeds[i]}:{texts[i]}"
-                )
-                for i in h.uncached
-            }
             h.inner = super().dispatch_texts(
                 [texts[i] for i in compute_idx],
                 [voice_ids[i] for i in compute_idx],
@@ -671,27 +703,10 @@ class CachedTTSPipeline(TTSPipeline):
                             output_format="f32"):
         if speeds is None:
             speeds = [1.0] * len(texts)
-        results: List[Optional[np.ndarray]] = []
-        uncached = []
-        for i, (text, voice, speed) in enumerate(
-            zip(texts, voice_ids, speeds)
-        ):
-            key = f"audio:{output_format}:{voice}:{speed}:{text}"
-            if key in self._audio_cache:
-                results.append(self._audio_cache[key])
-            else:
-                uncached.append(i)
-                results.append(None)
+        results, uncached, unique_row, keys, compute_idx = (
+            self._plan_audio_batch(texts, voice_ids, speeds, output_format)
+        )
         if uncached:
-            # dedup identical (text, voice, speed) inside the batch
-            # (reference pipeline.py:574-584)
-            unique: Dict[tuple, int] = {}
-            compute_idx = []
-            for i in uncached:
-                sig = (texts[i], voice_ids[i], speeds[i])
-                if sig not in unique:
-                    unique[sig] = len(compute_idx)
-                    compute_idx.append(i)
             fresh = super().batch_process_texts(
                 [texts[i] for i in compute_idx],
                 [voice_ids[i] for i in compute_idx],
@@ -699,12 +714,7 @@ class CachedTTSPipeline(TTSPipeline):
                 output_format=output_format,
             )
             for i in uncached:
-                sig = (texts[i], voice_ids[i], speeds[i])
-                audio = fresh[unique[sig]]
+                audio = fresh[unique_row[i]]
                 results[i] = audio
-                key = (
-                    f"audio:{output_format}:{voice_ids[i]}:"
-                    f"{speeds[i]}:{texts[i]}"
-                )
-                self._audio_cache_put(key, audio)
+                self._audio_cache_put(keys[i], audio)
         return results

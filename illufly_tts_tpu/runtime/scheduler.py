@@ -193,6 +193,11 @@ class TTSServiceManager:
             task.completed_at = time.time()
             self.tasks[task_id] = task
             self._finished.append(task)
+            # fail-fast tasks must still show up in the counters — a
+            # deployment where every request fails voice validation
+            # otherwise reports failed=0
+            self.counters["submitted"] += 1
+            self.counters["failed"] += 1
             logger.error("task %s failed fast: %s", task_id, exc)
             return task_id
 
@@ -304,7 +309,30 @@ class TTSServiceManager:
             # the head's output format; others wait for the next tick
             fmt = selected[0].output_format
             selected = [t for t in selected if t.output_format == fmt]
-        return selected[: self.batch_size]
+        selected = selected[: self.batch_size]
+        if selected and len(selected) < self.batch_size:
+            # spare capacity after the one-per-user fairness pass: fill
+            # with MORE tasks from the users already in this batch
+            # (sequence order preserved — they finalize together).
+            # Without this, single-user traffic (anonymous clients, the
+            # MCP server's fixed user id) serializes into batches of 1
+            # and the bucketed batch decode never engages.
+            fmt = selected[0].output_format
+            chosen = {id(t) for t in selected}
+            extras: List[TTSTask] = []
+            for user_id in {t.user_id for t in selected}:
+                for _, _, t in heapq.nsmallest(
+                    self.batch_size, self._pending.get(user_id) or []
+                ):
+                    if (
+                        t.status == TaskStatus.PENDING
+                        and id(t) not in chosen
+                        and t.output_format == fmt
+                    ):
+                        extras.append(t)
+            extras.sort(key=lambda t: t.sequence_id)
+            selected.extend(extras[: self.batch_size - len(selected)])
+        return selected
 
     # a completed task's audio is never evicted this soon after completion:
     # pollers (HTTP/MCP, 50 ms interval) must always find their waveform
@@ -378,20 +406,50 @@ class TTSServiceManager:
             for task, audio in zip(batch, audios):
                 self.counters["audio_seconds"] += audio.size / rate
                 task.audio_chunks.append(audio)
-                if self.output_dir:
-                    path = os.path.join(
-                        self.output_dir, f"{task.task_id}.wav"
+            if self.output_dir:
+                # side-artifact wavs, written CONCURRENTLY and before the
+                # status flips (pollers may expect the file the moment
+                # they see 'completed'); a failed write degrades to a log
+                # line — the audio is still servable from memory
+                writes = [
+                    asyncio.to_thread(
+                        self._save_task_wav,
+                        os.path.join(
+                            self.output_dir, f"{task.task_id}.wav"
+                        ),
+                        audio, fmt, rate,
                     )
-                    await asyncio.to_thread(
-                        self._save_task_wav, path, audio, fmt, rate
-                    )
+                    for task, audio in zip(batch, audios)
+                ]
+                for task, res in zip(
+                    batch,
+                    await asyncio.gather(*writes, return_exceptions=True),
+                ):
+                    if isinstance(res, BaseException):
+                        logger.error(
+                            "wav write failed for %s: %s",
+                            task.task_id, res,
+                        )
+            for task in batch:
                 task.status = TaskStatus.COMPLETED
                 task.completed_at = time.time()
                 self._finished.append(task)
                 self.counters["completed"] += 1
+        except asyncio.CancelledError:
+            # shutdown cancelled us mid-flight: give every task still
+            # PROCESSING a terminal state so pollers don't spin forever
+            for task in batch:
+                if task.status == TaskStatus.PROCESSING:
+                    task.status = TaskStatus.CANCELED
+                    task.completed_at = time.time()
+                    self._finished.append(task)
+                    self.counters["canceled"] += 1
+            raise
         except Exception as exc:  # batch-level failure policy
             logger.exception("batch failed: %s", exc)
             for task in batch:
+                if task.status != TaskStatus.PROCESSING:
+                    continue  # already finalized — don't double-handle
                 task.status = TaskStatus.FAILED
                 task.error = str(exc)
                 task.completed_at = time.time()

@@ -68,6 +68,51 @@ def test_audio_cache_hit(pipe):
     assert pipe.get_cache_stats()["text_misses"] >= 1
 
 
+def test_cache_thread_safety(pipe):
+    """Concurrent dispatch threads (scheduler pipeline_depth >= 2) hammer
+    the frontend + audio caches at their eviction limit — unguarded
+    check-then-pop eviction raced (KeyError / RuntimeError)."""
+    import threading
+
+    old_text, old_audio = (
+        CachedTTSPipeline.TEXT_CACHE_LIMIT,
+        CachedTTSPipeline.AUDIO_CACHE_LIMIT,
+    )
+    CachedTTSPipeline.TEXT_CACHE_LIMIT = 4
+    CachedTTSPipeline.AUDIO_CACHE_LIMIT = 2
+    pipe.clear_caches()  # shrink below the tiny limits set above
+    errors = []
+
+    def worker(seed):
+        try:
+            for i in range(60):
+                pipe._cached(
+                    "text", f"k{(seed * 31 + i) % 9}", lambda: i
+                )
+                pipe._audio_cache_put(
+                    f"audio:{(seed + i) % 5}", np.zeros(4, np.float32)
+                )
+                pipe._audio_cache_get(f"audio:{i % 5}")
+        except Exception as exc:  # pragma: no cover - the regression
+            errors.append(exc)
+
+    try:
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in range(6)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors
+        assert len(pipe._cache) <= 4
+        assert len(pipe._audio_cache) <= 2
+    finally:
+        CachedTTSPipeline.TEXT_CACHE_LIMIT = old_text
+        CachedTTSPipeline.AUDIO_CACHE_LIMIT = old_audio
+        pipe.clear_caches()
+
+
 def test_stream_batch_process(pipe):
     texts = ["第一句。第二句。", "只有一句。"]
     batches = list(pipe.stream_batch_process(texts, ["zf_001"] * 2,
@@ -84,7 +129,10 @@ async def test_scheduler_end_to_end(pipe, tmp_path):
     await manager.start()
     try:
         task_id = await manager.submit_task("集成测试。", "zf_001", user_id="u")
-        for _ in range(600):
+        # generous deadline: run in isolation this pays the cold jit
+        # compile inside the batch (tens of seconds on a loaded host)
+        deadline = asyncio.get_event_loop().time() + 120.0
+        while asyncio.get_event_loop().time() < deadline:
             status = await manager.get_task_status(task_id)
             if status["status"] in ("completed", "failed"):
                 break

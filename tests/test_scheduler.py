@@ -98,7 +98,10 @@ async def test_sequence_ordering_within_user():
         await manager.shutdown()
 
 
-async def test_one_task_per_user_per_batch():
+async def test_user_fairness_with_batch_fill():
+    """One task per user is selected FIRST (fairness: a flooding user
+    cannot starve others), then spare capacity fills with more tasks
+    from the selected users, per-user sequence order preserved."""
     manager = make_manager(batch_size=4)
     # user A floods; user B submits one later task
     a_tasks = [
@@ -119,12 +122,79 @@ async def test_one_task_per_user_per_batch():
         await wait_status(manager, b_task, "completed")
         for t in a_tasks:
             await wait_status(manager, t, "completed")
-        # first batch contains at most one task from each user
+        # fairness: B's later task rides the first batch despite A's flood
         first = batches[0]
-        assert sum(1 for t in first if t.startswith("a")) <= 1
-        assert any("b0" in batch for batch in batches[:2])
+        assert "b0" in first
+        # fill: A's queued tasks join the same batch in sequence order
+        a_in_first = [t for t in first if t.startswith("a")]
+        assert a_in_first == sorted(a_in_first)
     finally:
         await manager.shutdown()
+
+
+async def test_single_user_flood_batches_together():
+    """A single user id (anonymous clients, the MCP server's fixed id)
+    must still engage the batch decode — one batch of 4, not 4 of 1."""
+    manager = make_manager(batch_size=4)
+    tasks = [
+        await manager.submit_task(f"t{i}", "v", user_id="mcp",
+                                  sequence_id=i)
+        for i in range(4)
+    ]
+    await manager.start()
+    try:
+        for t in tasks:
+            await wait_status(manager, t, "completed")
+        assert manager.pipeline.calls[0] == [f"t{i}" for i in range(4)]
+    finally:
+        await manager.shutdown()
+
+
+async def test_wav_write_failure_keeps_tasks_completed(tmp_path):
+    """A failing wav side-write must not flip already-COMPLETED tasks to
+    FAILED (regression: the batch-level except re-finalized them)."""
+    manager = TTSServiceManager(
+        pipeline=FakePipeline(delay=0.0), max_wait_time=0.01,
+        output_dir=str(tmp_path),
+    )
+
+    def boom(path, audio, fmt, rate):
+        raise OSError("disk full")
+
+    manager._save_task_wav = boom
+    await manager.start()
+    try:
+        t1 = await manager.submit_task("hello", "v", user_id="u")
+        status = await wait_status(manager, t1, "completed")
+        assert status["status"] == "completed"
+        assert manager.counters["completed"] == 1
+        assert manager.counters["failed"] == 0
+    finally:
+        await manager.shutdown()
+
+
+async def test_shutdown_terminalizes_inflight_tasks():
+    """Cancelling an in-flight batch at shutdown must leave its tasks in
+    a terminal state (canceled), not PROCESSING forever."""
+    manager = TTSServiceManager(
+        pipeline=FakePipeline(delay=5.0), max_wait_time=0.01,
+    )
+    await manager.start()
+    tid = await manager.submit_task("slow", "v", user_id="u")
+    await wait_status(manager, tid, "processing")
+    await manager.shutdown()
+    status = await manager.get_task_status(tid)
+    assert status["status"] == "canceled"
+
+
+async def test_fail_fast_counted():
+    """Voice-validation failures must show up in the counters."""
+    manager = make_manager()
+    tid = await manager.submit_task("x", "bad_voice", user_id="u")
+    status = await manager.get_task_status(tid)
+    assert status["status"] == "failed"
+    assert manager.counters["failed"] == 1
+    assert manager.counters["submitted"] == 1
 
 
 async def test_cancel_pending():

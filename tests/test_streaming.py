@@ -150,6 +150,26 @@ def test_streaming_structure_first_chunk_early(synth):
     assert t_first < 0.75 * t_all, (t_first, t_all)
 
 
+def test_stream_decode_rejects_decoded_handle(synth):
+    """launch_decode/collect release the stage-A intermediates; streaming
+    such a handle must raise a clear error, not crash inside the jit."""
+    h = synth.dispatch(TEXTS, ["v", "v"])
+    synth.launch_decode(h)
+    with pytest.raises(ValueError, match="already decoded"):
+        next(synth.stream_decode(h, window_frames=32, halo_frames=8))
+
+
+def test_bucket_inventories_sorted():
+    """pick() assumes ascending buckets; the constructor sorts caller
+    inventories so a descending tuple can't route everything to max."""
+    s = Synthesizer(
+        config=tiny_config(), token_buckets=(32, 16),
+        frame_buckets=(128, 32, 64),
+    )
+    assert s.token_buckets == (16, 32)
+    assert s.frame_buckets == (32, 64, 128)
+
+
 def test_pipeline_stream_process(synth):
     from illufly_tts_tpu.pipeline import TTSPipeline
 
