@@ -109,7 +109,46 @@ def time_stage(jax, fn, args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+def _device_watchdog(timeout_s: float) -> "object":
+    """Fail loudly if the TPU never answers.
+
+    Observed failure mode of this environment's tunneled chip: the axon
+    service can go down in a way that makes ``jax.devices()`` block
+    FOREVER (no exception, no timeout — measured >1 h during an outage).
+    A silent hang leaves no bench artifact at all; this watchdog prints
+    an honest zero-valued JSON line and exits non-zero instead. Disarm
+    by calling .set() on the returned event once devices are live."""
+    import os
+    import threading
+
+    armed = threading.Event()
+
+    def watch():
+        if not armed.wait(timeout_s):
+            print(json.dumps({
+                "metric": "x_realtime_per_chip",
+                "value": 0.0,
+                "unit": "x",
+                "vs_baseline": 0.0,
+                "detail": {"error": (
+                    f"TPU backend did not initialize within {timeout_s:.0f}s"
+                    " — tunnel/device unreachable; no measurement taken"
+                )},
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return armed
+
+
 def main() -> None:
+    # arm BEFORE the first jax device touch; generous budget (a healthy
+    # tunnel answers in seconds, a cold backend in ~1 min)
+    import os
+
+    armed = _device_watchdog(
+        float(os.environ.get("BENCH_INIT_TIMEOUT_S", "600"))
+    )
     import jax
     import jax.numpy as jnp
 
@@ -122,7 +161,9 @@ def main() -> None:
     iters = 10
     cfg = KokoroConfig(dtype=jnp.bfloat16)
 
-    log(f"platform={jax.devices()[0].platform} building synthesizer...")
+    platform = jax.devices()[0].platform
+    armed.set()  # device answered — disarm the init watchdog
+    log(f"platform={platform} building synthesizer...")
     synth = Synthesizer(
         config=cfg,
         token_buckets=(tokens,),
