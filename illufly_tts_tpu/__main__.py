@@ -204,7 +204,9 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
 @click.option("--chunk-size", default=200, type=int)
 @click.option("--transport", default="stdio",
               type=click.Choice(["stdio", "sse"]), help="MCP transport")
-@click.option("--host", default="0.0.0.0", help="bind host (sse)")
+@click.option("--host", default="127.0.0.1",
+              help="bind host (sse; loopback default — the SSE transport "
+                   "has no JWT, gate with TTS_MCP_TOKEN before exposing)")
 @click.option("--port", default=31572, type=int, help="bind port (sse)")
 def server(repo_id, voices_dir, device, batch_size, max_wait_time,
            chunk_size, transport, host, port):

@@ -15,6 +15,7 @@ import base64
 import logging
 import os
 import tempfile
+import time
 from typing import Any, Dict, Optional
 
 from aiohttp import web
@@ -28,6 +29,25 @@ from .dev_mode import is_dev_mode
 logger = logging.getLogger(__name__)
 
 SERVICE_VERSION = "0.1.0"
+
+
+async def _json_object(request: web.Request) -> Dict[str, Any]:
+    """Parse the request body as a JSON OBJECT or raise 400 (a bare
+    string/array is valid JSON and would otherwise 500 on .get)."""
+    try:
+        body = await request.json()
+    except Exception:
+        raise web.HTTPBadRequest(reason="invalid JSON body")
+    if not isinstance(body, dict):
+        raise web.HTTPBadRequest(reason="JSON body must be an object")
+    return body
+
+
+def _parse_speed(body: Dict[str, Any]) -> float:
+    try:
+        return float(body.get("speed", 1.0))
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(reason="'speed' must be a number")
 
 
 def _require_user(request: web.Request) -> Dict[str, Any]:
@@ -142,59 +162,29 @@ def create_app(
             )
             if callable(warmup):
                 logger.info("warming compiled bucket inventory...")
-                # warm a slim inventory AND narrow the dispatcher to it,
-                # so every shape traffic can produce is warm: without the
-                # narrowing a partial batch (3 tasks -> bucket 4), a short
-                # text (-> token bucket 16) or a short utterance (-> frame
-                # bucket 64) cold-compiles at traffic time — minutes of
-                # tail latency through the remote tunnel. Padding to the
-                # warm bucket costs masked compute instead. The large
-                # frame/token escape hatches stay for content that needs
-                # them (persistent cache catches the one-time compile).
-                # absorb=True runs one throwaway call after the compiles
-                # so the tunnel drain completes before traffic arrives.
-                # PCM requests dispatch mulaw24k stage B when the wire
-                # codec is on — warm the format traffic will actually hit
-                fmts = ("mulaw24k",) if wire_format == "mulaw24k" else (
-                    "pcm16",
+                # warm a slim inventory AND narrow the dispatcher to it
+                # (narrow=True, Synthesizer.warmup docstring): every
+                # steady-state shape is then warm; partial batches /
+                # short texts / short utterances pad to a warm bucket
+                # instead of cold-compiling at traffic time. absorb=True
+                # runs one throwaway call so the tunnel drain completes
+                # before traffic arrives (absorb_drain). Formats: PCM
+                # requests dispatch mulaw24k stage B when the wire codec
+                # is on, and mulaw8k is API-reachable (format=mulaw8k
+                # telephony) — warm what traffic will actually hit.
+                fmts = (
+                    ("mulaw24k", "mulaw8k")
+                    if wire_format == "mulaw24k"
+                    else ("pcm16", "mulaw8k")
                 )
-                synth = manager.pipeline.synthesizer
-
-                def narrowed(inventory, preferred):
-                    # warmed buckets from the instance's OWN inventory
-                    # (hardcoding shapes breaks non-default configs whose
-                    # models can't run them), keeping larger escape
-                    # hatches for content that needs them
-                    warmed = tuple(
-                        x for x in preferred if x in inventory
-                    ) or tuple(inventory)
-                    hi = max(warmed)
-                    kept = sorted(
-                        {*warmed, *(x for x in inventory if x > hi)}
-                    )
-                    return warmed, tuple(kept)
-
-                batch_sizes = tuple(sorted({1, batch_size}))
-                warm_tokens, warm_frames = (64, 256), (256, 512)
-                # duck-typed pipelines (tests, remote shims) may not
-                # expose the bucket inventories — narrow only when real
-                if getattr(synth, "token_buckets", None):
-                    warm_tokens, synth.token_buckets = narrowed(
-                        synth.token_buckets, warm_tokens
-                    )
-                if getattr(synth, "frame_buckets", None):
-                    warm_frames, synth.frame_buckets = narrowed(
-                        synth.frame_buckets, warm_frames
-                    )
-                if getattr(synth, "batch_buckets", None):
-                    synth.batch_buckets = batch_sizes
                 await asyncio.to_thread(
                     lambda: warmup(
-                        batch_sizes=batch_sizes,
-                        token_sizes=warm_tokens,
-                        frame_sizes=warm_frames,
+                        batch_sizes=tuple(sorted({1, batch_size})),
+                        token_sizes=(64, 256),
+                        frame_sizes=(256, 512),
                         formats=fmts,
                         absorb=True,
+                        narrow=True,
                     )
                 )
                 logger.info("warmup complete")
@@ -212,15 +202,12 @@ def create_app(
 
     async def text_to_speech(request: web.Request) -> web.Response:
         user = _require_user(request)
-        try:
-            body = await request.json()
-        except Exception:
-            raise web.HTTPBadRequest(reason="invalid JSON body")
+        body = await _json_object(request)
         text = body.get("text")
         if not text:
             raise web.HTTPBadRequest(reason="missing 'text'")
         voice_id = body.get("voice_id", "zf_001")
-        speed = float(body.get("speed", 1.0))
+        speed = _parse_speed(body)
         sequence_id = body.get("sequence_id")
         cancel_pending = bool(body.get("cancel_pending", False))
         # 'wav' (24 kHz 16-bit PCM, default) or 'mulaw8k' (G.711 @8 kHz,
@@ -243,7 +230,13 @@ def create_app(
             output_format,
         )
         if result["status"] == "error":
-            raise web.HTTPBadRequest(reason=result["error"])
+            # voice problems are the caller's fault (4xx); everything
+            # else — device/compile/batch errors — is a server fault and
+            # must be 5xx so clients retry and dashboards classify right
+            err = result["error"] or "synthesis failed"
+            if "voice" in err.lower():
+                raise web.HTTPBadRequest(reason=err)
+            raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)
 
     async def get_voices(request: web.Request) -> web.Response:
@@ -279,26 +272,27 @@ def create_app(
         synthesized in scheduler order, and PCM streamed as it completes
         (the reference only streams at the library level, SURVEY §3.4)."""
         user = _require_user(request)
-        try:
-            body = await request.json()
-        except Exception:
-            raise web.HTTPBadRequest(reason="invalid JSON body")
+        body = await _json_object(request)
         text = body.get("text")
         if not text:
             raise web.HTTPBadRequest(reason="missing 'text'")
         voice_id = body.get("voice_id", "zf_001")
-        speed = float(body.get("speed", 1.0))
+        speed = _parse_speed(body)
         manager: TTSServiceManager = request.app["service_manager"]
         user_id = user.get("user_id")
 
         segments = manager.pipeline.segment_text(text, manager.chunk_size)
-        base_seq = asyncio.get_event_loop().time()
+        # epoch base like submit_task's default — a monotonic-clock base
+        # (~uptime) would sort every segment ahead of the user's earlier
+        # epoch-stamped /tts tasks in the per-user heap; millisecond
+        # steps keep the segments themselves in order
+        base_seq = time.time()
         task_ids = []
         for i, segment in enumerate(segments):
             task_ids.append(
                 await manager.submit_task(
                     segment, voice_id, speed, user_id,
-                    sequence_id=base_seq + i,
+                    sequence_id=base_seq + i * 1e-3,
                 )
             )
 
@@ -330,6 +324,18 @@ def create_app(
                         chunk = chunk / peak
                     chunk = (np.clip(chunk, -1, 1) * 32767).astype("<i2")
                 await response.write(chunk.astype("<i2").tobytes())
+            status = await manager.get_task_status(task_id)
+            if status and status["status"] != "completed":
+                # a failed/canceled segment must not masquerade as a
+                # successful (shorter) stream: drop the connection
+                # WITHOUT the terminal chunk so the client sees a
+                # truncated transfer, not a clean end
+                logger.error(
+                    "stream segment %s %s: %s", task_id,
+                    status["status"], status.get("error"),
+                )
+                response.force_close()
+                return response
         await response.write_eof()
         return response
 

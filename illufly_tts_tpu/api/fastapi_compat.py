@@ -25,7 +25,9 @@ class TextToSpeechRequest(BaseModel):
     text: str
     voice_id: str = "zf_001"
     speed: float = 1.0
-    sequence_id: Optional[int] = None
+    # float like the scheduler's TTSTask.sequence_id (time.time()-style
+    # ids must not 422 here when the aiohttp mount accepts them)
+    sequence_id: Optional[float] = None
     cancel_pending: bool = False
 
 
@@ -79,7 +81,11 @@ def mount_tts_service(
             body.speed,
         )
         if result["status"] == "error":
-            raise HTTPException(status_code=400, detail=result["error"])
+            err = result["error"] or "synthesis failed"
+            # voice problems are the caller's fault; device/batch errors
+            # are server faults and must be 5xx (see endpoints.py)
+            code = 400 if "voice" in err.lower() else 500
+            raise HTTPException(status_code=code, detail=err)
         return result
 
     @router.get("/tts/voices")

@@ -67,10 +67,9 @@ def create_gateway_app(
 
     async def text_to_speech(request: web.Request) -> web.Response:
         _require_user(request)
-        try:
-            body = await request.json()
-        except Exception:
-            raise web.HTTPBadRequest(reason="invalid JSON body")
+        from .endpoints import _json_object, _parse_speed
+
+        body = await _json_object(request)
         text = body.get("text")
         if not text:
             raise web.HTTPBadRequest(reason="missing 'text'")
@@ -78,14 +77,16 @@ def create_gateway_app(
         result = await c.text_to_speech(
             text=text,
             voice=body.get("voice_id", "zf_001"),
-            speed=float(body.get("speed", 1.0)),
+            speed=_parse_speed(body),
         )
         if not isinstance(result, dict):
             raise web.HTTPBadGateway(reason="malformed MCP response")
         if result.get("status") != "success":
-            raise web.HTTPBadRequest(
-                reason=result.get("error", "processing failed")
-            )
+            err = result.get("error") or "processing failed"
+            # voice problems are client errors; the rest are server-side
+            if "voice" in err.lower():
+                raise web.HTTPBadRequest(reason=err)
+            raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)
 
     async def get_voices(request: web.Request) -> web.Response:

@@ -28,7 +28,8 @@ def main(argv=None) -> None:
     parser.add_argument("--output-dir", default=None)
     parser.add_argument("--transport", choices=("stdio", "sse"),
                         default="stdio")
-    parser.add_argument("--host", default="0.0.0.0")
+    # loopback default: the SSE transport's only auth is TTS_MCP_TOKEN
+    parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=31572)
     args = parser.parse_args(argv)
     run_server(

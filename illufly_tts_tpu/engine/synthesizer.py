@@ -817,6 +817,18 @@ class Synthesizer:
         )
         return dt
 
+    @staticmethod
+    def _narrow_inventory(inventory, preferred):
+        """-> (warmed sizes from the instance's OWN inventory, narrowed
+        inventory = warmed sizes + larger escape hatches). Preferred
+        sizes absent from the inventory are dropped (hardcoded shapes
+        can exceed what a custom config's model can run)."""
+        warmed = tuple(x for x in preferred if x in inventory) \
+            or tuple(inventory)
+        hi = max(warmed)
+        kept = sorted({*warmed, *(x for x in inventory if x > hi)})
+        return warmed, tuple(kept)
+
     def warmup(
         self,
         batch_sizes: Sequence[int] = (1, 4),
@@ -825,6 +837,7 @@ class Synthesizer:
         parallel: int = 4,
         absorb: bool = False,
         formats: Sequence[str] = ("pcm16",),
+        narrow: bool = False,
     ) -> float:
         """Precompile the bucket inventory ahead of time.
 
@@ -835,11 +848,28 @@ class Synthesizer:
         next process start is seconds (VERDICT r2 next-2). Returns total
         wall seconds (compile only; ``absorb=True`` additionally runs
         ``absorb_drain`` afterwards and records it in
-        ``self.last_drain_s`` — see that docstring for why)."""
+        ``self.last_drain_s`` — see that docstring for why).
+
+        ``narrow=True`` additionally restricts the dispatch inventories
+        to the warmed buckets (plus larger escape hatches): every shape
+        steady-state traffic can produce is then warm — a partial batch,
+        short text or short utterance PADS to a warm bucket (masked
+        compute) instead of cold-compiling an intermediate shape at
+        traffic time. The serving deployments (HTTP server, MCP) use
+        this."""
         import time
         from concurrent.futures import ThreadPoolExecutor
 
         t0 = time.perf_counter()
+        if narrow:
+            token_sizes, self.token_buckets = self._narrow_inventory(
+                self.token_buckets, token_sizes
+            )
+            frame_pref = tuple(frame_sizes or self.frame_buckets)
+            frame_sizes, self.frame_buckets = self._narrow_inventory(
+                self.frame_buckets, frame_pref
+            )
+            self.batch_buckets = tuple(sorted(set(batch_sizes)))
         if self.mesh is not None:
             # sharded inputs: compile through the data-driven path so the
             # jit sees real shardings (AOT structs carry none)

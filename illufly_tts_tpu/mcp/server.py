@@ -68,9 +68,30 @@ class ManagerBackend:
 
     async def start(self) -> None:
         if not self._started:
+            import asyncio
+            import os
+
             synth = self._manager.pipeline.synthesizer
             if not synth.is_voice_loaded("zf_001"):
                 synth.register_random_voice("zf_001", seed=42)
+            if os.environ.get("TTS_WARMUP", "").lower() in (
+                "1", "true", "yes"
+            ):
+                # same deployment knob as the HTTP server: warm + narrow
+                # the bucket inventory so MCP traffic never cold-compiles
+                # (Synthesizer.warmup docstring)
+                warmup = getattr(synth, "warmup", None)
+                if callable(warmup):
+                    batch = self.config.get("batch_size") or 4
+                    await asyncio.to_thread(
+                        lambda: warmup(
+                            batch_sizes=tuple(sorted({1, batch})),
+                            token_sizes=(64, 256),
+                            frame_sizes=(256, 512),
+                            absorb=True,
+                            narrow=True,
+                        )
+                    )
             await self._manager.start()
             self._started = True
 
@@ -271,8 +292,28 @@ class MCPServer:
     # ------------------------------------------------------------------
 
     def create_sse_app(self):
-        """aiohttp app implementing the MCP HTTP+SSE transport."""
+        """aiohttp app implementing the MCP HTTP+SSE transport.
+
+        Auth: the SSE transport sits behind no JWT gateway, so a shared
+        secret gates it when exposed beyond loopback — set
+        ``TTS_MCP_TOKEN`` and clients must send
+        ``Authorization: Bearer <token>`` on /sse and /messages (or
+        ``?token=`` for EventSource clients that can't set headers).
+        Unset = open (safe with the 127.0.0.1 default bind)."""
+        import hmac
+        import os
+
         from aiohttp import web
+
+        expected = os.environ.get("TTS_MCP_TOKEN", "")
+
+        def _authorized(request: web.Request) -> bool:
+            if not expected:
+                return True
+            header = request.headers.get("Authorization", "")
+            supplied = header[7:] if header.startswith("Bearer ") else \
+                request.query.get("token", "")
+            return hmac.compare_digest(supplied, expected)
 
         sessions: Dict[str, asyncio.Queue] = {}
         # strong refs: asyncio keeps only weak refs to tasks, and the
@@ -281,6 +322,8 @@ class MCPServer:
         inflight: set = set()
 
         async def sse(request: web.Request) -> web.StreamResponse:
+            if not _authorized(request):
+                raise web.HTTPUnauthorized(reason="bad or missing token")
             session_id = uuid.uuid4().hex
             queue: asyncio.Queue = asyncio.Queue()
             sessions[session_id] = queue
@@ -310,6 +353,8 @@ class MCPServer:
             return resp
 
         async def messages(request: web.Request) -> web.Response:
+            if not _authorized(request):
+                raise web.HTTPUnauthorized(reason="bad or missing token")
             session_id = request.query.get("session_id", "")
             queue = sessions.get(session_id)
             if queue is None:
@@ -352,7 +397,10 @@ class MCPServer:
         app.on_cleanup.append(on_cleanup)
         return app
 
-    def serve_sse(self, host: str = "0.0.0.0", port: int = 31572) -> None:
+    def serve_sse(self, host: str = "127.0.0.1", port: int = 31572) -> None:
+        # loopback default: unlike the JWT-gated HTTP server, the SSE
+        # transport's only auth is the optional TTS_MCP_TOKEN — exposing
+        # it beyond this host must be an explicit --host choice
         from aiohttp import web
 
         web.run_app(self.create_sse_app(), host=host, port=port,
@@ -361,7 +409,7 @@ class MCPServer:
 
 def run_server(
     transport: str = "stdio",
-    host: str = "0.0.0.0",
+    host: str = "127.0.0.1",
     port: int = 31572,
     backend: Optional[Any] = None,
     **manager_kwargs: Any,

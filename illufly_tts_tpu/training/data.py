@@ -90,40 +90,96 @@ def _style_vector(audio: np.ndarray, dim: int, sample_rate: int,
     return (vec / (np.linalg.norm(vec) + 1e-6)).astype(np.float32)
 
 
+class _LazyItems:
+    """Sequence facade over on-demand utterance loading with a bounded
+    LRU — an LJSpeech-scale corpus (~13k utts, ~8 GB of float32 audio)
+    must not materialize in RAM at init. Accessed from the single
+    prefetch producer thread; the decode cost hides behind the device
+    step (see ``prefetch``)."""
+
+    def __init__(self, dataset: "SpeechDataset", cache_items: int):
+        from collections import OrderedDict
+
+        self._ds = dataset
+        self._cache: "OrderedDict[int, dict]" = OrderedDict()
+        self._max = max(1, cache_items)
+
+    def __len__(self) -> int:
+        return len(self._ds.pairs)
+
+    def __getitem__(self, i) -> dict:
+        i = int(i)
+        item = self._cache.get(i)
+        if item is None:
+            item = self._ds.load_item(i)
+            self._cache[i] = item
+            if len(self._cache) > self._max:
+                self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(i)
+        return item
+
+
 class SpeechDataset:
-    """Materialized utterances ready for batching."""
+    """Utterances ready for batching.
+
+    Small corpora (<= ``eager_threshold`` items, the overfit/test regime)
+    are materialized up front; larger ones load lazily per access with a
+    bounded LRU (``cache_items``) so memory stays flat at any corpus
+    size. Force either mode with ``eager=``."""
 
     def __init__(self, root: str, pipeline=None, sample_rate: int = 24000,
                  style_dim: int = 256, samples_per_frame: int = 600,
-                 max_items: Optional[int] = None):
+                 max_items: Optional[int] = None,
+                 eager: Optional[bool] = None,
+                 eager_threshold: int = 64,
+                 cache_items: int = 256):
         if pipeline is None:
             from ..pipeline import TTSPipeline
 
             pipeline = TTSPipeline.__new__(TTSPipeline)  # frontend only
             pipeline._init_frontend_only()
-        self.items = []
+        self._pipeline = pipeline
+        self._sample_rate = sample_rate
+        self._style_dim = style_dim
+        self._samples_per_frame = samples_per_frame
         pairs = scan_dataset(root)
         if max_items:
             pairs = pairs[:max_items]
         if not pairs:
             raise ValueError(f"no (wav, transcript) pairs under {root}")
-        for wav_path, text in pairs:
-            audio, sr = load_wav(wav_path)
-            audio = _resample_linear(
-                np.asarray(audio, np.float32), sr, sample_rate
-            )
-            phonemes = pipeline.phonemes_to_ipa(
-                pipeline.text_to_phonemes(pipeline.preprocess_text(text))
-            )
-            ids = encode_phonemes(phonemes, max_len=512)
-            frames = max(1, audio.size // samples_per_frame)
-            self.items.append({
-                "ids": ids,
-                "audio": audio[: frames * samples_per_frame],
-                "frames": frames,
-                "style": _style_vector(audio, style_dim, sample_rate),
-            })
-        logger.info("dataset: %d utterances from %s", len(self.items), root)
+        self.pairs = pairs
+        if eager is None:
+            eager = len(pairs) <= eager_threshold
+        if eager:
+            self.items = [self.load_item(i) for i in range(len(pairs))]
+        else:
+            self.items = _LazyItems(self, cache_items)
+        logger.info(
+            "dataset: %d utterances from %s (%s)", len(pairs), root,
+            "eager" if eager else f"lazy, lru={cache_items}",
+        )
+
+    def load_item(self, i: int) -> dict:
+        wav_path, text = self.pairs[i]
+        audio, sr = load_wav(wav_path)
+        audio = _resample_linear(
+            np.asarray(audio, np.float32), sr, self._sample_rate
+        )
+        p = self._pipeline
+        phonemes = p.phonemes_to_ipa(
+            p.text_to_phonemes(p.preprocess_text(text))
+        )
+        ids = encode_phonemes(phonemes, max_len=512)
+        frames = max(1, audio.size // self._samples_per_frame)
+        return {
+            "ids": ids,
+            "audio": audio[: frames * self._samples_per_frame],
+            "frames": frames,
+            "style": _style_vector(
+                audio, self._style_dim, self._sample_rate
+            ),
+        }
 
 
 def dataset_batches(

@@ -228,6 +228,17 @@ def train(
     for step in range(start_step, start_step + steps):
         batch = next(batches)
         if data_sharding is not None:
+            n_data = mesh.shape["data"]
+            b = batch.input_ids.shape[0]
+            if b % n_data:
+                # caller-supplied iterators bypass the batch_size
+                # rounding above; fail with guidance instead of a deep
+                # GSPMD device_put error
+                raise ValueError(
+                    f"batch dim {b} does not divide the {n_data}-way "
+                    "'data' mesh axis; yield TrainBatch with a leading "
+                    f"dim that is a multiple of {n_data}"
+                )
             batch = TrainBatch(*(
                 jax.device_put(x, data_sharding) for x in batch
             ))

@@ -313,3 +313,68 @@ async def test_tts_unknown_format_rejected():
             headers=auth_headers(),
         )
         assert resp.status == 400
+
+
+async def test_non_object_json_and_bad_speed_are_400():
+    """Bare-string/array JSON bodies and non-numeric speed must be 400s,
+    not unhandled 500s."""
+    async with client_ctx() as client:
+        for body in ('"hello"', "[]", "3"):
+            resp = await client.post(
+                "/api/tts", data=body,
+                headers={**auth_headers(),
+                         "content-type": "application/json"},
+            )
+            assert resp.status == 400, (body, resp.status)
+        resp = await client.post(
+            "/api/tts", json={"text": "hi", "speed": "fast"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400
+
+
+async def test_server_fault_maps_to_500():
+    """Batch-level (device) failures are server faults: 5xx, not 400."""
+
+    class ExplodingPipeline(FakePipeline):
+        def batch_process_texts(self, texts, voice_ids, speeds=None,
+                                output_format="f32"):
+            raise RuntimeError("device on fire")
+
+    import os
+
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    app = create_app(
+        output_dir="/tmp/tts_api_test", pipeline=ExplodingPipeline(),
+        max_wait_time=0.01,
+    )
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers(),
+        )
+        assert resp.status == 500
+    finally:
+        await client.close()
+
+
+async def test_stream_sequence_ids_are_epoch_based():
+    """Stream segments must sort against epoch-stamped /tts tasks in the
+    per-user heap — a monotonic-clock base would always win."""
+    import time
+
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts/stream", json={"text": "一句。二句。"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
+        await resp.read()
+        manager = client.app["service_manager"]
+        seqs = [
+            t.sequence_id for t in manager.tasks.values()
+        ]
+        now = time.time()
+        assert seqs and all(abs(s - now) < 3600 for s in seqs), seqs

@@ -120,6 +120,38 @@ async def test_sse_roundtrip(monkeypatch):
         await test_server.close()
 
 
+async def test_sse_token_auth(monkeypatch):
+    """TTS_MCP_TOKEN gates /sse and /messages (the SSE transport has no
+    JWT layer); unset = open (loopback default bind)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    monkeypatch.setenv("TTS_MCP_TOKEN", "s3cret")
+    server = MCPServer(FakeBackend())
+    client = TestClient(TestServer(server.create_sse_app()))
+    await client.start_server()
+    try:
+        resp = await client.post("/messages?session_id=x", json={})
+        assert resp.status == 401
+        resp = await client.post(
+            "/messages?session_id=x", json={},
+            headers={"Authorization": "Bearer wrong"},
+        )
+        assert resp.status == 401
+        # correct token passes auth (404: the session doesn't exist)
+        resp = await client.post(
+            "/messages?session_id=x", json={},
+            headers={"Authorization": "Bearer s3cret"},
+        )
+        assert resp.status == 404
+        # EventSource-style query token on /sse
+        async with client.get("/sse?token=s3cret") as resp:
+            assert resp.status == 200
+        async with client.get("/sse") as resp:
+            assert resp.status == 401
+    finally:
+        await client.close()
+
+
 async def test_gateway_over_stdio_subprocess(monkeypatch, tmp_path):
     monkeypatch.setenv("TTS_FAKE_BACKEND", "1")
     monkeypatch.setenv("TTS_DEV_MODE", "true")

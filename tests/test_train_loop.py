@@ -239,3 +239,66 @@ def test_prefetch_stops_producer_on_abandon():
             break
         time.sleep(0.05)
     assert not leaked, f"producer thread leaked: {leaked}"
+
+
+def test_speech_dataset_lazy_matches_eager(tmp_path):
+    """Lazy (LRU) loading returns the same items as eager materialization
+    and keeps at most `cache_items` utterances resident."""
+    import numpy as np
+
+    from illufly_tts_tpu.audio.wav import save_wav
+    from illufly_tts_tpu.training.data import SpeechDataset
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(5):
+        wave = (0.1 * np.sin(np.linspace(0, 40 + i, 2400))).astype(
+            np.float32
+        ) + 0.01 * rng.randn(2400).astype(np.float32)
+        save_wav(str(d / f"u{i}.wav"), wave, 24000)
+        (d / f"u{i}.txt").write_text(f"你好{i}", encoding="utf-8")
+
+    kw = dict(sample_rate=24000, style_dim=8, samples_per_frame=600)
+    eager = SpeechDataset(str(d), eager=True, **kw)
+    lazy = SpeechDataset(str(d), eager=False, cache_items=2, **kw)
+    assert len(lazy.items) == len(eager.items) == 5
+    for i in range(5):
+        a, b = eager.items[i], lazy.items[i]
+        assert a["ids"] == b["ids"]
+        assert a["frames"] == b["frames"]
+        np.testing.assert_array_equal(a["audio"], b["audio"])
+        np.testing.assert_array_equal(a["style"], b["style"])
+    assert len(lazy.items._cache) <= 2  # LRU bound holds
+
+
+def test_train_mesh_rejects_indivisible_caller_batches(setup):
+    """Caller-supplied batch iterators bypass the batch_size rounding;
+    an indivisible leading dim must fail with guidance, not a deep
+    GSPMD device_put error."""
+    model, teacher, tokens, frames = setup
+    from illufly_tts_tpu.parallel.mesh import make_mesh
+    from illufly_tts_tpu.training.loop import train
+
+    mesh = make_mesh(n_data=2, n_model=1)
+
+    def bad_batches():
+        while True:
+            yield TrainBatch(
+                input_ids=jnp.zeros((3, tokens), jnp.int32),
+                mask=jnp.ones((3, tokens), jnp.float32),
+                ref_s=jnp.zeros((3, 2 * model.config.style_dim),
+                                jnp.float32),
+                target_dur=jnp.ones((3, tokens), jnp.float32),
+                target_audio=jnp.zeros(
+                    (3, frames * model.config.samples_per_frame),
+                    jnp.float32,
+                ),
+            )
+
+    with pytest.raises(ValueError, match="does not divide"):
+        train(
+            model, teacher, steps=1, batch_size=3, tokens=tokens,
+            frames=frames, learning_rate=1e-4, batches=bad_batches(),
+            mesh=mesh, checkpoint_every=0,
+        )
