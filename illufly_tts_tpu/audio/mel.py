@@ -46,7 +46,13 @@ def mel_spectrogram(
     audio = np.asarray(audio, np.float32)
     if audio.size < n_fft:
         audio = np.pad(audio, (0, n_fft - audio.size))
-    window = np.hanning(n_fft)
+    # PERIODIC hann + the same log floor as the jax train path
+    # (audio/mel_jax.py, ops/stft.py) so train-time and eval-time mel-L1
+    # are numerically the same metric — np.hanning is the symmetric
+    # variant and silently disagreed
+    window = 0.5 - 0.5 * np.cos(
+        2.0 * np.pi * np.arange(n_fft) / n_fft
+    )
     n_frames = 1 + (audio.size - n_fft) // hop
     frames = np.lib.stride_tricks.as_strided(
         audio,
@@ -56,7 +62,7 @@ def mel_spectrogram(
     spec = np.abs(np.fft.rfft(frames * window, axis=-1)) ** 2
     fb = mel_filterbank(sample_rate, n_fft, n_mels)
     mel = fb @ spec.T
-    return np.log(np.maximum(mel, 1e-10))
+    return np.log(np.maximum(mel, 1e-5))
 
 
 def mel_l1(a: np.ndarray, b: np.ndarray, **kw) -> float:

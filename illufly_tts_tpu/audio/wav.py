@@ -90,8 +90,22 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pcm = np.frombuffer(raw, "<i2").astype(np.float32) / 32767.0
     elif width == 4:
         pcm = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483647.0
-    else:
+    elif width == 3:
+        # 24-bit little-endian: widen to int32 with sign extension (the
+        # old uint8 fallback reinterpreted each sample as three bytes of
+        # full-scale noise)
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+        val = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        val -= (val & 0x800000) << 1  # sign-extend bit 23
+        pcm = val.astype(np.float32) / 8388607.0
+    elif width == 1:
         pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128) / 127.0
+    else:
+        raise ValueError(f"unsupported WAV sample width: {width} bytes")
     return pcm, rate
 
 

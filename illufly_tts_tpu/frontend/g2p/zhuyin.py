@@ -31,7 +31,11 @@ FINAL_TO_ZHUYIN: Dict[str, str] = {
     "uan": "ㄨㄢ", "uen": "ㄨㄣ", "uang": "ㄨㄤ", "ueng": "ㄨㄥ",
     "ong": "ㄨㄥ",
     "ve": "ㄩㄝ", "van": "ㄩㄢ", "vn": "ㄩㄣ",
-    "ng": "ㄫ", "n": "ㄣ", "m": "ㄇ",
+    # syllabic nasals get DEDICATED glyphs (ㄯ U+312F, ㆬ U+31AC): the
+    # previous ㄣ/ㄇ reuse collided with final 'en' and initial 'm', so
+    # the round trip turned 嗯 (final n2, zh_frontend.py pypinyin-compat
+    # quirk) into 'en2' — breaking the invertibility this module claims
+    "ng": "ㄫ", "n": "ㄯ", "m": "ㆬ",
 }
 
 ZHUYIN_TO_INITIAL = {v: k for k, v in INITIAL_TO_ZHUYIN.items()}

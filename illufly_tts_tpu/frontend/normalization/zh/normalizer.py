@@ -91,10 +91,11 @@ _RE_COMMA_NUM = re.compile(r"(?<!\d)\d{1,3}(?:,\d{3})+(?:\.\d+)?(?!\d)")
 
 def _collapse_comma_num(match: re.Match) -> str:
     digits = match.group(0).replace(",", "")
-    # a 7-8 digit collapse would collide with the landline rule and read
-    # digit-wise with 幺; thousand separators mark an unambiguous
-    # cardinal, so verbalize integers of that size immediately
-    if "." not in digits and len(digits) >= 7:
+    # thousand separators mark an unambiguous cardinal — verbalize
+    # immediately at EVERY size: a bare 4-6 digit collapse would fall to
+    # the serial rule (digit-wise with 幺) and 7-8 digits would collide
+    # with the landline rule
+    if "." not in digits:
         from .num import num2str
 
         return num2str(digits)

@@ -70,6 +70,11 @@ def verbalize_cardinal(value_string: str) -> str:
     value = int(value_string)
     if value == 0:
         return "零"
+    if len(value_string) > 16:
+        # beyond 万亿亿 grouping (1e16) there is no standard spoken
+        # unit — read digit-by-digit instead of crashing on the unit
+        # table (regression: 17+-digit numbers raised IndexError)
+        return verbalize_digit(value_string)
     # Split into 4-digit groups from the right: [..., 亿亿?, 亿, 万, ones]
     groups = []
     while value > 0:

@@ -210,6 +210,12 @@ class KokoroModel(nn.Module):
         )
         audio = audio * sample_mask
         if pcm16:
+            # deliberate divergence from decode_frames' peak-normalize-
+            # if-clipping: streaming is causal — the global peak is
+            # unknowable at window k, and per-window rescaling would
+            # modulate gain across chunk boundaries (audible pumping).
+            # Hard clip is the only gain-stable option; with real
+            # checkpoints rendered speech peaks well below full scale.
             audio = jnp.clip(audio, -1.0, 1.0)
             audio = jnp.round(audio * 32767.0).astype(jnp.int16)
         return audio

@@ -17,7 +17,9 @@ from typing import Dict, List
 from ..frontend.g2p.ipa import ZH_IPA_CHARS
 
 _EN_IPA = list("ɑæʌɔaʊɪieɛɝəɚoʃʒθðŋɹbdfɡhjklmnpstuvwzˈˌː")
-_EN_EXTRA = ["dʒ", "tʃ", "eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"]  # kept as chars below
+# digraphs enter the vocab per-character via the _build loop; listing
+# them keeps any future digraph's constituents covered explicitly
+_EN_EXTRA = ["dʒ", "tʃ", "eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"]
 _PUNCT = list(';:,.!?—…"()“”/ \'-')
 _MISC = list("❓$&@#%+=*~^|<>[]{} ")
 
@@ -27,7 +29,7 @@ PAD_ID = 0
 def _build() -> Dict[str, int]:
     symbols: List[str] = ["$"]  # id 0: PAD/BOS/EOS
     seen = {"$"}
-    for group in (_PUNCT, ZH_IPA_CHARS, _EN_IPA, _MISC):
+    for group in (_PUNCT, ZH_IPA_CHARS, _EN_IPA, _EN_EXTRA, _MISC):
         for s in group:
             for ch in s:  # vocab is per-character, like the reference's
                 if ch not in seen:

@@ -37,6 +37,7 @@ class SourceModule(nn.Module):
     harmonics: int = 8
     voiced_threshold: float = 10.0
     sine_amp: float = 0.1
+    noise_std: float = 0.003  # voiced additive dither (SineGen default)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -58,7 +59,11 @@ class SourceModule(nn.Module):
         uv = (f0_up > self.voiced_threshold).astype(jnp.float32)[..., None]
         sines = self.sine_amp * jnp.sin(phase) * uv
         if rng is not None:
-            noise_std = uv * (self.sine_amp / 3.0) + (1 - uv) * (
+            # SineGen noise schedule: voiced harmonics get the small
+            # additive dither (noise_std), UNVOICED regions get sine_amp/3
+            # — the previous expression used sine_amp/3 for both, ~11x the
+            # reference's voiced noise
+            noise_std = uv * self.noise_std + (1 - uv) * (
                 self.sine_amp / 3.0
             )
             sines = sines + noise_std * jax.random.normal(rng, sines.shape)

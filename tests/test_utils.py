@@ -97,3 +97,60 @@ def test_stage_timers():
     snap = timers.snapshot()
     assert snap["g2p"]["count"] == 2
     assert snap["g2p"]["total_s"] >= 0
+
+
+def test_wav_24bit_decodes():
+    """24-bit PCM decodes with sign extension (was reinterpreted as 3x
+    uint8 noise) and unknown widths raise."""
+    import struct
+    import wave
+    import io
+
+    import numpy as np
+
+    from illufly_tts_tpu.audio.wav import decode_wav
+
+    ref = (np.sin(np.linspace(0, 20, 480)) * 0.5).astype(np.float32)
+    vals = np.round(ref * 8388607.0).astype(np.int32)
+    raw = b"".join(struct.pack("<i", v)[:3] for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(24000)
+        w.writeframes(raw)
+    audio, rate = decode_wav(buf.getvalue())
+    assert rate == 24000 and audio.size == 480
+    np.testing.assert_allclose(audio, ref, atol=2e-7)
+
+
+def test_zhuyin_syllabic_nasals_roundtrip():
+    """Dedicated glyphs for syllabic n/ng/m keep the zhuyin intermediate
+    invertible (嗯 used to come back as 'en2')."""
+    from illufly_tts_tpu.frontend.g2p.zhuyin import (
+        syllable_to_zhuyin,
+        zhuyin_syllable_to_pinyin,
+    )
+
+    for fin in ("n2", "ng2", "m2", "en2"):
+        zy = syllable_to_zhuyin("", fin)
+        assert zhuyin_syllable_to_pinyin(zy) == ("", fin), (fin, zy)
+
+
+def test_mel_numpy_matches_jax():
+    """Eval-time (numpy) and train-time (jax) log-mel agree: same
+    periodic window, same floor (they silently diverged before)."""
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from illufly_tts_tpu.audio.mel import mel_spectrogram
+    from illufly_tts_tpu.audio.mel_jax import log_mel
+
+    a = np.sin(np.linspace(0, 100, 4096)).astype(np.float32)
+    m_np = mel_spectrogram(a)
+    m_jx = np.asarray(log_mel(jnp.asarray(a)[None]))[0]
+    f = min(m_np.shape[1], m_jx.shape[1])
+    assert float(np.abs(m_np[:, :f] - m_jx[:, :f]).max()) < 0.02

@@ -191,3 +191,22 @@ def test_comma_numbers_and_units():
     assert "一千二百三十四万五千六百七十八元" in out, out
     out = "".join(n.normalize("服用5mg，缝隙3mm。"))
     assert "五毫克" in out and "三毫米" in out, out
+
+
+def test_comma_numbers_small_and_huge():
+    """Review r3: 4-6 digit thousand-separated numbers are cardinals too
+    (not 幺-serials), and 17+-digit numbers read digit-wise instead of
+    crashing the unit table (IndexError regression)."""
+    from illufly_tts_tpu.frontend.normalization.zh import ZhTextNormalizer
+
+    n = ZhTextNormalizer()
+    out = "".join(n.normalize("售价12,345元。"))
+    assert "一万二千三百四十五元" in out, out
+    assert "幺" not in out, out
+    out = "".join(n.normalize("高达10,000,000,000,000,000,000元。"))
+    assert "一" in out and out  # no crash; digit-wise reading
+    from illufly_tts_tpu.frontend.normalization.zh.num import (
+        verbalize_cardinal,
+    )
+
+    assert verbalize_cardinal("9" * 20)  # 20 digits: no IndexError
