@@ -225,3 +225,36 @@ def test_year_ranges(pipe):
     low = en.lower()
     assert "thirteen sixty eight" in low or "1368" in low
     assert "sixteen forty four" in low or "1644" in low
+
+
+def test_number_default_language():
+    """Mirrors reference tests/test_number_language.py: pure-number text
+    follows the pipeline's default_language."""
+    zh = TTSPipeline(synthesizer=StubSynthesizer(), default_language="zh")
+    en = TTSPipeline(synthesizer=StubSynthesizer(), default_language="en")
+    hanzi = set("一二三四五六七八九十百千万亿零点负")
+    for text in ("123456", "-123.456"):
+        zh_result = zh.preprocess_text(text)
+        en_result = en.preprocess_text(text)
+        assert any(c in hanzi for c in zh_result), (text, zh_result)
+        assert not any(c in hanzi for c in en_result), (text, en_result)
+        assert zh_result != en_result
+
+
+def test_number_with_context(pipe):
+    """Numbers take the language of their context, not the default."""
+    hanzi = set("一二三四五六七八九十百千万亿零")
+    assert any(
+        c in hanzi for c in pipe.preprocess_text("前面中文123456")
+    )
+    assert not any(
+        c in hanzi for c in pipe.preprocess_text("English text 123456")
+    )
+    assert any(c in hanzi for c in pipe.preprocess_text("123.45元"))
+
+
+def test_mixed_language_number_context(pipe):
+    """Sandwiched numbers resolve without crashing and keep both sides."""
+    for text in ("中文123英文", "英文123中文"):
+        result = pipe.preprocess_text(text)
+        assert result, text
