@@ -116,14 +116,9 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         wire_format=audio_wire,
     )
     if cors_origins:
-        @web.middleware
-        async def cors_middleware(request, handler):
-            response = await handler(request)
-            response.headers["Access-Control-Allow-Origin"] = cors_origins
-            response.headers["Access-Control-Allow-Credentials"] = "true"
-            return response
+        from .api.endpoints import make_cors_middleware
 
-        app.middlewares.append(cors_middleware)
+        app.middlewares.append(make_cors_middleware(cors_origins))
 
     logger.info("serving on %s:%d", host, port)
     web.run_app(app, host=host, port=port)

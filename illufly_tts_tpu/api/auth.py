@@ -93,7 +93,12 @@ def create_access_token(
 ) -> str:
     import time
 
-    minutes = expire_minutes or JWT_ACCESS_TOKEN_EXPIRE_MINUTES
+    # `is None`, not falsy: expire_minutes=0 means an already-expired
+    # token (tests mint these), not the default lifetime
+    minutes = (
+        JWT_ACCESS_TOKEN_EXPIRE_MINUTES if expire_minutes is None
+        else expire_minutes
+    )
     payload = {
         "user_id": user_id,
         "roles": roles or ["user"],

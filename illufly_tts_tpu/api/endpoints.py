@@ -50,6 +50,49 @@ def _parse_speed(body: Dict[str, Any]) -> float:
         raise web.HTTPBadRequest(reason="'speed' must be a number")
 
 
+def make_cors_middleware(cors_origins: str):
+    """Browser-correct CORS for `serve` (TTS_CORS_ORIGINS): answers
+    OPTIONS preflights (no OPTIONS routes exist, so they 405'd and the
+    browser blocked every cross-origin POST), echoes the single matching
+    origin (a comma list or '*' with credentials is browser-rejected),
+    and decorates error responses too (or the browser hides the status
+    from JS)."""
+    allowed = {o.strip() for o in cors_origins.split(",") if o.strip()}
+
+    def cors_headers(request: web.Request) -> Dict[str, str]:
+        origin = request.headers.get("Origin", "")
+        if origin in allowed or "*" in allowed:
+            h = {"Access-Control-Allow-Origin": origin or "*",
+                 "Vary": "Origin"}
+            if origin:
+                h["Access-Control-Allow-Credentials"] = "true"
+            return h
+        return {}
+
+    @web.middleware
+    async def cors_middleware(request, handler):
+        hdrs = cors_headers(request)
+        if request.method == "OPTIONS":
+            hdrs.update({
+                "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+                "Access-Control-Allow-Headers": request.headers.get(
+                    "Access-Control-Request-Headers",
+                    "Authorization, Content-Type",
+                ),
+                "Access-Control-Max-Age": "600",
+            })
+            return web.Response(status=204, headers=hdrs)
+        try:
+            response = await handler(request)
+        except web.HTTPException as exc:
+            exc.headers.update(hdrs)
+            raise
+        response.headers.update(hdrs)
+        return response
+
+    return cors_middleware
+
+
 def _require_user(request: web.Request) -> Dict[str, Any]:
     try:
         return authenticate(

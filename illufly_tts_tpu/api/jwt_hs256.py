@@ -72,10 +72,22 @@ def decode(
         expected = hmac.new(
             key.encode("utf-8"), signing_input, hashlib.sha256
         ).digest()
-        actual = _b64url_decode(sig_b64)
+        try:
+            # malformed base64 in the SIGNATURE segment must surface as a
+            # JWTError (-> 401), not binascii.Error (-> 500)
+            actual = _b64url_decode(sig_b64)
+        except Exception as exc:
+            raise InvalidSignatureError(
+                f"malformed signature: {exc}"
+            ) from exc
         if not hmac.compare_digest(expected, actual):
             raise InvalidSignatureError("signature mismatch")
     if verify_exp and "exp" in payload:
-        if time.time() > float(payload["exp"]):
+        try:
+            exp = float(payload["exp"])
+        except (TypeError, ValueError) as exc:
+            # a non-numeric exp claim is a malformed token, not a 500
+            raise JWTError(f"invalid exp claim: {exc}") from exc
+        if time.time() > exp:
             raise ExpiredSignatureError("token expired")
     return payload

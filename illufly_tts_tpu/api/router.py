@@ -121,13 +121,25 @@ def create_router_app(
             await asyncio.sleep(health_interval)
 
     def route_key(request: web.Request) -> str:
-        """Stable per-user key: bearer/cookie token if present, else the
-        declared user, else the peer address."""
+        """Stable per-user key: the JWT's user claim when decodable (so
+        the SAME user keeps the SAME replica across token renewals — the
+        raw token re-hashes on refresh and breaks sequence ordering),
+        else the raw token, else the declared user, else the peer."""
         auth = request.headers.get("Authorization", "")
-        if auth.startswith("Bearer "):
-            return auth[7:]
-        token = request.cookies.get("access_token")
+        token = auth[7:] if auth.startswith("Bearer ") else \
+            request.cookies.get("access_token")
         if token:
+            try:
+                from . import jwt_hs256
+
+                payload = jwt_hs256.decode(
+                    token, options={"verify_signature": False}
+                )
+                uid = payload.get("user_id") or payload.get("sub")
+                if uid:
+                    return str(uid)
+            except Exception:
+                pass  # opaque token: fall back to hashing it directly
             return token
         dev_user = request.headers.get("X-Dev-User")
         if dev_user:
@@ -165,30 +177,42 @@ def create_router_app(
                     status=upstream.status, headers=out_headers
                 )
                 await resp.prepare(request)
+                # classify failures by the OPERATION, not the exception
+                # type: on aiohttp >=3.10 a client abort raises
+                # ClientConnectionResetError from resp.write, which IS a
+                # ClientError — type-based branches demoted a healthy
+                # replica whenever the CLIENT hung up
                 try:
                     async for chunk in upstream.content.iter_chunked(
                         64 * 1024
                     ):
-                        await resp.write(chunk)
-                    await resp.write_eof()
+                        try:
+                            await resp.write(chunk)  # -> CLIENT
+                        except (
+                            aiohttp.ClientError, ConnectionError, OSError
+                        ):
+                            # client went away; the replica is fine —
+                            # demoting would needlessly re-hash its
+                            # sticky users
+                            logger.info("client disconnected mid-stream")
+                            return resp
+                    try:
+                        await resp.write_eof()  # -> CLIENT
+                    except (
+                        aiohttp.ClientError, ConnectionError, OSError
+                    ):
+                        logger.info("client disconnected at eof")
                 except (
-                    aiohttp.ClientError, asyncio.TimeoutError, TimeoutError
+                    aiohttp.ClientError, asyncio.TimeoutError,
+                    TimeoutError, ConnectionError, OSError,
                 ) as exc:
-                    # UPSTREAM died or hung mid-stream: status already
-                    # sent, so the body is truncated; log + demote, don't
-                    # 502. (TimeoutError is an OSError subclass on
-                    # py3.11+ — it must be classified here, before the
-                    # client-disconnect branch, or a wedged replica never
-                    # demotes.)
+                    # UPSTREAM read died or hung: status already sent, so
+                    # the body is truncated; log + demote, don't 502.
+                    # (TimeoutError is an OSError subclass on py3.11+.)
                     logger.error(
                         "replica %s failed mid-stream: %s", b.base_url, exc
                     )
                     b.healthy = False
-                except (ConnectionResetError, ConnectionError, OSError):
-                    # the CLIENT went away mid-stream — the replica is
-                    # fine; demoting it here would needlessly re-hash its
-                    # sticky users
-                    logger.info("client disconnected mid-stream")
                 return resp
             finally:
                 await upstream_cm.__aexit__(None, None, None)
@@ -210,25 +234,31 @@ def create_router_app(
 
     async def stats(request: web.Request) -> web.Response:
         session: aiohttp.ClientSession = request.app["session"]
-        merged: Dict[str, Dict] = {}
-        for b in request.app["backends"]:
+        fwd_headers = {
+            k: v for k, v in request.headers.items()
+            if k.lower() not in HOP_HEADERS
+        }
+
+        async def fetch(b: Backend) -> Dict:
             if not b.healthy:
-                merged[b.base_url] = {"healthy": False}
-                continue
+                return {"healthy": False}
             try:
                 async with session.get(
                     f"{b.base_url}{prefix}/tts/stats",
-                    headers={
-                        k: v for k, v in request.headers.items()
-                        if k.lower() not in HOP_HEADERS
-                    },
+                    headers=fwd_headers,
                     timeout=aiohttp.ClientTimeout(total=5.0),
                 ) as resp:
-                    merged[b.base_url] = {
-                        "healthy": True, **(await resp.json()),
-                    }
+                    return {"healthy": True, **(await resp.json())}
             except Exception as exc:
-                merged[b.base_url] = {"healthy": False, "error": str(exc)}
+                return {"healthy": False, "error": str(exc)}
+
+        backends = request.app["backends"]
+        # concurrent: a hung-but-marked-healthy replica costs 5 s total,
+        # not 5 s per replica
+        results = await asyncio.gather(*(fetch(b) for b in backends))
+        merged = {
+            b.base_url: r for b, r in zip(backends, results)
+        }
         return web.json_response({
             "replicas": merged,
             "alive": sum(

@@ -20,6 +20,7 @@ import contextlib
 import itertools
 import json
 import logging
+import os
 from typing import Any, Dict, List, Optional
 
 from ..mcp import protocol as p
@@ -40,12 +41,18 @@ class TTSMcpClient:
         port: Optional[int] = None,
         use_stdio: Optional[bool] = None,
         timeout: float = 900.0,
+        token: Optional[str] = None,
     ) -> None:
         # default timeout covers a cold first-call XLA compile of the
         # serving buckets (can exceed 300 s on a fresh cache)
         if use_stdio is None:
             use_stdio = process_command is not None
         self.use_stdio = use_stdio
+        # shared secret for a TTS_MCP_TOKEN-gated SSE server; defaults
+        # to the same env var so client and server read one knob
+        self.token = token if token is not None else os.environ.get(
+            "TTS_MCP_TOKEN", ""
+        )
         self.process_command = process_command
         self.process_args = list(process_args or [])
         self.host = host
@@ -67,11 +74,20 @@ class TTSMcpClient:
     async def connect(self) -> None:
         if self._connected:
             return
-        if self.use_stdio:
-            await self._connect_stdio()
-        else:
-            await self._connect_sse()
-        await self._initialize()
+        if self._proc is not None or self._session is not None:
+            # a previous half-open attempt (e.g. _initialize timeout)
+            # left transports up — tear them down or a retry would spawn
+            # a SECOND server subprocess racing the first on _pending
+            await self.close()
+        try:
+            if self.use_stdio:
+                await self._connect_stdio()
+            else:
+                await self._connect_sse()
+            await self._initialize()
+        except BaseException:
+            await self.close()  # no leaked sessions/subprocesses
+            raise
         self._connected = True
         logger.info("MCP client connected (stdio=%s)", self.use_stdio)
 
@@ -114,7 +130,10 @@ class TTSMcpClient:
             raise MCPError("sse mode needs host and port")
         import aiohttp
 
-        self._session = aiohttp.ClientSession()
+        headers = (
+            {"Authorization": f"Bearer {self.token}"} if self.token else {}
+        )
+        self._session = aiohttp.ClientSession(headers=headers)
         url = f"http://{self.host}:{self.port}/sse"
         self._sse_resp = await self._session.get(
             url, timeout=aiohttp.ClientTimeout(total=None)
@@ -188,7 +207,12 @@ class TTSMcpClient:
             assert self._session is not None and self._endpoint is not None
             url = f"http://{self.host}:{self.port}{self._endpoint}"
             resp = await self._session.post(url, json=msg)
+            status = resp.status
             resp.release()
+            if status >= 400:
+                # fail fast: a swallowed 401/404 here left the caller
+                # waiting out the full request timeout
+                raise MCPError(f"POST {self._endpoint} -> HTTP {status}")
 
     async def _request(self, method: str,
                        params: Optional[Dict[str, Any]] = None) -> Any:
@@ -266,6 +290,12 @@ class TTSMcpClient:
                 self._proc.terminate()
                 with contextlib.suppress(Exception):
                     await asyncio.wait_for(self._proc.wait(), 5.0)
+            if self._proc.returncode is None:
+                # SIGTERM ignored (e.g. wedged in a compile): escalate —
+                # never leave an orphaned TPU-holding server behind
+                with contextlib.suppress(Exception):
+                    self._proc.kill()
+                    await self._proc.wait()
             self._proc = None
         if self._sse_resp is not None:
             with contextlib.suppress(Exception):

@@ -152,6 +152,35 @@ async def test_sse_token_auth(monkeypatch):
         await client.close()
 
 
+async def test_sse_client_authenticates_with_token(monkeypatch):
+    """The client picks TTS_MCP_TOKEN from the env and round-trips
+    against a token-gated server; a wrong token fails FAST (the POST
+    status is checked instead of waiting out the request timeout)."""
+    from aiohttp.test_utils import TestServer
+
+    from illufly_tts_tpu.client.mcp_client import MCPError, TTSMcpClient
+
+    monkeypatch.setenv("TTS_MCP_TOKEN", "tok")
+    server = MCPServer(FakeBackend())
+    test_server = TestServer(server.create_sse_app())
+    await test_server.start_server()
+    try:
+        client = TTSMcpClient(host=test_server.host,
+                              port=test_server.port, timeout=30.0)
+        async with client:
+            info = await client.get_info()
+            assert info["service"] == "illufly-tts-tpu-mcp"
+        bad = TTSMcpClient(host=test_server.host, port=test_server.port,
+                           timeout=30.0, token="wrong")
+        import aiohttp
+
+        with pytest.raises((MCPError, aiohttp.ClientResponseError)):
+            await bad.connect()
+        await bad.close()
+    finally:
+        await test_server.close()
+
+
 async def test_gateway_over_stdio_subprocess(monkeypatch, tmp_path):
     monkeypatch.setenv("TTS_FAKE_BACKEND", "1")
     monkeypatch.setenv("TTS_DEV_MODE", "true")
