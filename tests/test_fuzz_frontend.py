@@ -60,3 +60,56 @@ def test_fuzz_nasty_inputs(stack):
         zh.normalize(s)
         en.normalize(s)
         g2p.text_to_phonemes(s)
+
+
+def test_fuzz_adversarial_mixed_pipeline():
+    """Round-3 sweep distilled (8000 cases, 0 failures): mixed-script
+    text with markdown-link features, thousand-separated and huge
+    numbers, currency/units and emoji through the FULL pipeline chain
+    (preprocess -> phonemes -> ipa), not just the normalizers."""
+    import random
+    import string
+
+    from illufly_tts_tpu.pipeline import TTSPipeline
+
+    class Stub:
+        sample_rate = 24000
+
+        def load_voice(self, v):
+            raise ValueError(v)
+
+        def list_voices(self):
+            return []
+
+    pipe = TTSPipeline(synthesizer=Stub())
+    rng = random.Random(42)
+    ZH = "你好世界天气真好不错嗯啊哦了的地得一二三四五六七八九十百千万亿元年月日号点分秒度"
+    FEATURES = ["[New York](/nujork/)", "[Dr](#doctor#)", "[x](-1)",
+                "[](/)", "[a](", "](#)", "[b](0.5)"]
+    SPECIALS = ["3.14159", "-0.5", "1/3", "50%", "25°C", "13812345678",
+                "2023-05-10", "12:34:56", "1,234,567", "$99.99", "￥1,000"]
+    pools = [ZH, string.ascii_letters, string.digits,
+             "。，！？；：、…—()（）[]【】\"\"''<>《》~·",
+             "$€£¥%+-*/=@#&^_|\\{}~`", "😀🎉🚀❤️🌟中🔥", " \t\n"]
+
+    def rand_text(n):
+        out = []
+        while sum(len(s) for s in out) < n:
+            r = rng.random()
+            if r < 0.05:
+                out.append(rng.choice(FEATURES))
+            elif r < 0.15:
+                out.append(str(rng.randint(0, 10 ** rng.randint(1, 25))))
+            elif r < 0.25:
+                out.append(rng.choice(SPECIALS))
+            else:
+                pool = rng.choice(pools)
+                out.append("".join(
+                    rng.choice(pool) for _ in range(rng.randint(1, 12))
+                ))
+        return "".join(out)
+
+    for _ in range(250):
+        t = rand_text(rng.randint(1, 120))
+        ph = pipe.text_to_phonemes(pipe.preprocess_text(t))
+        pipe.phonemes_to_ipa(ph)
