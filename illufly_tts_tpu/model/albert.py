@@ -49,7 +49,10 @@ class AlbertLayer(nn.Module):
         x = nn.LayerNorm(name="ln_attn", dtype=self.dtype)(x + attn_out)
 
         h = nn.Dense(cfg.intermediate_size, name="ffn_in", dtype=self.dtype)(x)
-        h = jax.nn.gelu(h, approximate=False)
+        # tanh-approximate gelu == HF 'gelu_new', the AlbertConfig
+        # default the real Kokoro PLBERT was trained with — exact
+        # erf-gelu systematically deviates on converted checkpoints
+        h = jax.nn.gelu(h, approximate=True)
         h = nn.Dense(cfg.hidden_size, name="ffn_out", dtype=self.dtype)(h)
         return nn.LayerNorm(name="ln_ffn", dtype=self.dtype)(x + h)
 

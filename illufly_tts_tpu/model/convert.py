@@ -37,7 +37,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -358,10 +358,43 @@ def _map_simple(key: str, arr: np.ndarray, num_res_kernels: int):
     return None
 
 
-def convert_checkpoint(torch_state: Dict[str, Any], flax_params) -> Any:
+_TOKEN_EMB_PATHS = (
+    ("params", "bert", "tok_emb", "embedding"),
+    ("params", "text_encoder", "embed", "embedding"),
+)
+
+
+def _remap_vocab_rows(src: np.ndarray, template: np.ndarray,
+                      src_vocab: Dict[str, int]):
+    """Reorder token-embedding rows from the source checkpoint's vocab
+    (symbol -> row, e.g. Kokoro-82M config.json 'vocab', 178 entries)
+    into THIS repo's vocab ordering (model/vocab.py, frontend-emission
+    order). Rows for symbols absent from the source keep the template's
+    init. -> (remapped [n_ours, dim], copied-row count)."""
+    from .vocab import VOCAB
+
+    new = np.array(template, np.float32, copy=True)
+    hits = 0
+    for sym, src_row in src_vocab.items():
+        dst = VOCAB.get(sym)
+        if dst is not None and 0 <= int(src_row) < src.shape[0] \
+                and dst < new.shape[0]:
+            new[dst] = src[int(src_row)]
+            hits += 1
+    return new, hits
+
+
+def convert_checkpoint(torch_state: Dict[str, Any], flax_params,
+                       src_vocab: Optional[Dict[str, int]] = None) -> Any:
     """Convert a Kokoro torch state_dict (flat or nested) to a Flax param
     tree matching ``flax_params``'s structure. Raises ConversionError with
-    the exact lists of unmapped torch tensors / unfilled flax leaves."""
+    the exact lists of unmapped torch tensors / unfilled flax leaves.
+
+    ``src_vocab`` (symbol -> row id, the checkpoint repo's config.json
+    'vocab' table): remaps BOTH token-embedding matrices into this
+    repo's vocab ordering — without it a real Kokoro-82M checkpoint
+    (178-row vocab in kokoro's own id order) cannot line up with the
+    template's rows."""
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     state = fold_weight_norm(_flatten_torch_state(torch_state))
@@ -434,6 +467,17 @@ def convert_checkpoint(torch_state: Dict[str, Any], flax_params) -> Any:
             arr = arr + tt[0:1]
         out[path] = np.asarray(arr, np.float32)
 
+    if src_vocab is not None:
+        for p in _TOKEN_EMB_PATHS:
+            if p in out and p in template:
+                out[p], hits = _remap_vocab_rows(
+                    out[p], np.asarray(template[p]), src_vocab
+                )
+                logger.info(
+                    "vocab remap %s: %d/%d source rows copied",
+                    "/".join(p[1:]), hits, len(src_vocab),
+                )
+
     missing = [k for k in template if k not in out]
     # known structural gaps filled with exact-zero defaults:
     # - conv1x1 has no bias in StyleTTS2 (bias=False); flax Conv carries one
@@ -467,11 +511,29 @@ def convert_checkpoint(torch_state: Dict[str, Any], flax_params) -> Any:
     return converted
 
 
-def load_torch_checkpoint(path: str, flax_params) -> Any:
-    """Load a .pt/.pth Kokoro checkpoint from disk and convert it."""
+def load_torch_checkpoint(path: str, flax_params,
+                          src_vocab: Optional[Dict[str, int]] = None) -> Any:
+    """Load a .pt/.pth Kokoro checkpoint from disk and convert it.
+
+    A ``config.json`` sitting next to the checkpoint (the HF repo
+    layout) is auto-discovered for its 'vocab' table when ``src_vocab``
+    isn't given — real Kokoro weights need the row remap."""
+    import json
+    import os
+
     import torch
 
     state = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(state, dict) and "net" in state:
         state = state["net"]  # StyleTTS2 training-checkpoint wrapper
-    return convert_checkpoint(state, flax_params)
+    if src_vocab is None:
+        cfg_path = os.path.join(os.path.dirname(path) or ".", "config.json")
+        if os.path.exists(cfg_path):
+            with open(cfg_path, encoding="utf-8") as f:
+                src_vocab = json.load(f).get("vocab")
+            if src_vocab:
+                logger.info(
+                    "using vocab table from %s (%d symbols)",
+                    cfg_path, len(src_vocab),
+                )
+    return convert_checkpoint(state, flax_params, src_vocab=src_vocab)

@@ -81,16 +81,9 @@ class KokoroModel(nn.Module):
         pcm16: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
-        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
-        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
-
-        en = expand_by_duration(d, pred_dur, num_frames)        # [B,F,H+S]
-        fmask = frame_mask(pred_dur, num_frames)                # [B,F]
-        f0, n_energy = self.predictor.f0n_train(en, style, fmask)
-
-        t_en = self.text_encoder(input_ids, mask)               # [B,T,H]
-        asr = expand_by_duration(t_en, pred_dur, num_frames)    # [B,F,H]
-
+        asr, f0, n_energy, fmask, dec_style = self._stage_b_front(
+            input_ids, mask, d, pred_dur, ref_s, num_frames
+        )
         audio = self.decoder(asr, f0, n_energy, dec_style, fmask, rng)
         sample_mask = jnp.repeat(fmask, cfg.samples_per_frame, axis=1)
         audio = audio * sample_mask
@@ -102,6 +95,22 @@ class KokoroModel(nn.Module):
             audio = jnp.clip(audio * scale, -1.0, 1.0)
             audio = jnp.round(audio * 32767.0).astype(jnp.int16)
         return audio, fmask
+
+    def _stage_b_front(self, input_ids, mask, d, pred_dur, ref_s,
+                       num_frames):
+        """Shared front half of stage B (batch AND streaming paths —
+        keep them in lockstep): style split, duration expansion, frame
+        mask, F0/N towers, text encoder alignment.
+        -> (asr [B,F,H], f0, n_energy, fmask [B,F], dec_style)."""
+        cfg = self.config
+        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
+        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
+        en = expand_by_duration(d, pred_dur, num_frames)        # [B,F,H+S]
+        fmask = frame_mask(pred_dur, num_frames)                # [B,F]
+        f0, n_energy = self.predictor.f0n_train(en, style, fmask)
+        t_en = self.text_encoder(input_ids, mask)               # [B,T,H]
+        asr = expand_by_duration(t_en, pred_dur, num_frames)    # [B,F,H]
+        return asr, f0, n_energy, fmask, dec_style
 
     # ---- streaming stage B: prepare once, render windows --------------------
 
@@ -119,23 +128,16 @@ class KokoroModel(nn.Module):
         source's cumulative phase. Returns generator-rate tensors ready for
         ``decode_window`` (VERDICT r2 next-8: intra-utterance streaming)."""
         cfg = self.config
-        style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
-        dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
-        en = expand_by_duration(d, pred_dur, num_frames)
-        fmask = frame_mask(pred_dur, num_frames)
-        f0, n_energy = self.predictor.f0n_train(en, style, fmask)
-        t_en = self.text_encoder(input_ids, mask)
-        asr = expand_by_duration(t_en, pred_dur, num_frames)
+        asr, f0, n_energy, fmask, dec_style = self._stage_b_front(
+            input_ids, mask, d, pred_dur, ref_s, num_frames
+        )
         x, f0_m, cur_mask = self.decoder.trunk(
             asr, f0, n_energy, dec_style, fmask
         )
         # cumulative source phase (revolutions) at each generator-frame
-        # start: each of the 2F positions spans up_total*hop samples of
-        # constant f0 (vocoder.py Generator f0_up repeat)
-        ist = cfg.istftnet
-        samples_per_in = ist.gen_istft_hop_size
-        for u in ist.upsample_rates:
-            samples_per_in *= u
+        # start: each of the 2F positions spans samples_per_frame/2
+        # samples of constant f0 (vocoder.py Generator f0_up repeat)
+        samples_per_in = cfg.samples_per_frame // 2
         per_pos = f0_m.astype(jnp.float32) * (
             samples_per_in / cfg.sample_rate
         )
@@ -195,10 +197,7 @@ class KokoroModel(nn.Module):
         audio = self.decoder.generate(
             x_w, dec_style, f0_w, mask_w, rng=None, rad_offset=rad0,
         )
-        ist = cfg.istftnet
-        samples_per_in = ist.gen_istft_hop_size
-        for u in ist.upsample_rates:
-            samples_per_in *= u
+        samples_per_in = cfg.samples_per_frame // 2
         lo = (start - slice_start) * samples_per_in
         emit = window + halo  # window body + right-overlap for crossfade
         audio = jax.lax.dynamic_slice_in_dim(

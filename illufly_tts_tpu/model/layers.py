@@ -234,6 +234,17 @@ class AdainResBlk1d(nn.Module):
 
     @nn.compact
     def __call__(self, x, s, mask: Optional[jnp.ndarray] = None):
+        # mask activations BEFORE every conv/pool, not just the AdaIN
+        # statistics: AdaIN maps padded frames to (1+gamma)(x-mean)rstd
+        # + beta != 0, and the k=3 convs would pull that garbage into
+        # the last valid frames — the reference renders at exact length
+        # and sees zeros there (same policy as AdaSnakeResBlock below)
+        def m(h, up=False):
+            if mask is None:
+                return h
+            mm = jnp.repeat(mask, 2, axis=1) if up else mask
+            return h * mm[..., None].astype(h.dtype)
+
         # residual branch
         h = AdaIN1d(self.dim_in, name="norm1", dtype=self.dtype)(x, s, mask)
         h = leaky_relu(h)
@@ -241,8 +252,10 @@ class AdainResBlk1d(nn.Module):
             h = ConvTranspose1d(
                 self.dim_in, kernel=3, stride=2, groups=self.dim_in,
                 name="pool", dtype=self.dtype,
-            )(h)
-        h = Conv1d(self.dim_out, 3, name="conv1", dtype=self.dtype)(h)
+            )(m(h))
+        h = Conv1d(self.dim_out, 3, name="conv1", dtype=self.dtype)(
+            m(h, up=self.upsample)
+        )
         up_mask = None
         if mask is not None:
             up_mask = (
@@ -250,9 +263,11 @@ class AdainResBlk1d(nn.Module):
             )
         h = AdaIN1d(self.dim_out, name="norm2", dtype=self.dtype)(h, s, up_mask)
         h = leaky_relu(h)
-        h = Conv1d(self.dim_out, 3, name="conv2", dtype=self.dtype)(h)
+        h = Conv1d(self.dim_out, 3, name="conv2", dtype=self.dtype)(
+            m(h, up=self.upsample)
+        )
         # shortcut branch
-        sc = x
+        sc = m(x)
         if self.upsample:
             sc = jnp.repeat(sc, 2, axis=1)  # nearest 2x
         if self.dim_in != self.dim_out:

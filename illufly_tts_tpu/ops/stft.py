@@ -92,8 +92,18 @@ def stft_magphase(x: jnp.ndarray, n_fft: int, hop: int):
 
 
 def overlap_add(frames: jnp.ndarray, hop: int) -> jnp.ndarray:
-    """frames [B,F,W] -> [B, (F-1)*hop + W] via shifted partial sums."""
+    """frames [B,F,W] -> [B, (F-1)*hop + W] via shifted partial sums.
+
+    Requires hop | W: the shifted-partial-sum scheme covers each frame
+    with exactly W/hop hop-sized chunks — a non-dividing hop would
+    silently drop each frame's trailing W % hop samples."""
     batch, num_frames, win = frames.shape
+    if win % hop:
+        raise ValueError(
+            f"overlap_add requires hop ({hop}) to divide the window "
+            f"({win}); {win % hop} trailing samples per frame would be "
+            "silently dropped"
+        )
     out_len = (num_frames - 1) * hop + win
     chunks = win // hop  # number of overlapping frames per sample
     y = jnp.zeros((batch, out_len), frames.dtype)

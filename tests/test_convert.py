@@ -87,3 +87,24 @@ def test_lstm_params_match_torch_cell():
         outs.append(np.asarray(h))
     ours = np.stack(outs, axis=1)
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_vocab_remap_rows():
+    """Real-checkpoint path: source rows land at OUR vocab ids; symbols
+    we lack are skipped; rows the source lacks keep the template init."""
+    import numpy as np
+
+    from illufly_tts_tpu.model.convert import _remap_vocab_rows
+    from illufly_tts_tpu.model.vocab import VOCAB
+
+    src_vocab = {"a": 0, "i": 1, "$": 2, "☃": 3}  # snowman: not ours
+    src = np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+    template = np.full((len(VOCAB), 3), -1.0, np.float32)
+    new, hits = _remap_vocab_rows(src, template, src_vocab)
+    assert hits == 3
+    for sym, row in (("a", 0), ("i", 1), ("$", 2)):
+        np.testing.assert_array_equal(new[VOCAB[sym]], src[row])
+    touched = {VOCAB["a"], VOCAB["i"], VOCAB["$"]}
+    for r in range(len(VOCAB)):
+        if r not in touched:
+            assert (new[r] == -1.0).all()

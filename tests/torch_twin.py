@@ -468,7 +468,9 @@ class TwinKModel(nn.Module):
             intermediate_size=a.intermediate_size,
             num_hidden_layers=a.num_layers,
             max_position_embeddings=a.max_position,
-            hidden_act="gelu",
+            # gelu_new (tanh approx): the HF AlbertConfig default the
+            # real PLBERT uses — keeps the parity test non-circular
+            hidden_act="gelu_new",
             hidden_dropout_prob=0.0,
             attention_probs_dropout_prob=0.0,
             classifier_dropout_prob=0.0,
