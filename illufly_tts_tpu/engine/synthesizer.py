@@ -187,9 +187,17 @@ class Synthesizer:
         (reference pipeline.py:78-109 search order: voices_dir then cache).
         Kept host-side: per-item length indexing is a host slice and the
         selected rows ship with the batch upload (no per-item device
-        gather + readback)."""
+        gather + readback).
+
+        ``voice_id`` may also be a blend spec ``"a*0.6+b*0.4"`` (see
+        ``blend_voices``); the blended pack is cached under the spec."""
         if voice_id in self._voices:
             return self._voices[voice_id]
+        if "+" in voice_id or "*" in voice_id:
+            pack = self.blend_voices(voice_id)
+            with self._lock:
+                self._voices[voice_id] = pack
+            return pack
 
         def try_dir(directory: str):
             for ext in (".npy", ".npz", ".pt"):
@@ -246,6 +254,46 @@ class Synthesizer:
         with self._lock:
             self._voices[voice_id] = pack
         return self._voices[voice_id]
+
+    def blend_voices(self, spec: str) -> np.ndarray:
+        """Weighted mix of voice packs: ``"a+b"`` (equal), ``"a*0.7+b*0.3"``.
+
+        Style vectors live in the AdaIN conditioning space, where convex
+        combinations interpolate timbre/prosody — the voice-mixing
+        convention of the Kokoro ecosystem. Beyond-reference capability
+        (the reference loads exactly one pack per request,
+        pipeline.py:196-199); weights are normalized to sum to 1, and
+        packs of different lengths are aligned on the shortest
+        (length-indexed rows stay consistent)."""
+        comps = []
+        for part in spec.split("+"):
+            name, _, w = part.partition("*")
+            name = name.strip()
+            if not name or "+" in name:
+                raise ValueError(f"bad voice blend component: {part!r}")
+            try:
+                weight = float(w) if w.strip() else 1.0
+            except ValueError:
+                raise ValueError(
+                    f"bad weight in voice blend component: {part!r}"
+                )
+            if weight <= 0 or not np.isfinite(weight):
+                raise ValueError(
+                    f"voice blend weight must be positive: {part!r}"
+                )
+            comps.append((name, weight))
+        total = sum(w for _, w in comps)
+        packs = [self.load_voice(name) for name, _ in comps]
+        min_len = min(p.shape[0] for p in packs)
+        out = np.zeros((min_len, packs[0].shape[1]), np.float32)
+        for (_, w), p in zip(comps, packs):
+            if p.shape[1] != out.shape[1]:
+                raise ValueError(
+                    f"voice blend dim mismatch in {spec!r}: "
+                    f"{p.shape[1]} vs {out.shape[1]}"
+                )
+            out += (w / total) * p[:min_len]
+        return out
 
     def register_voice(self, voice_id: str, pack: np.ndarray) -> None:
         pack = np.asarray(pack, np.float32)

@@ -28,6 +28,8 @@ class FakePipeline:
         pass
 
     def load_voice(self, voice_id):
+        if "no_such_voice" in voice_id:  # mimic the real fail-fast
+            raise ValueError(f"voice not found: {voice_id}")
         return np.zeros((1, 256), np.float32)
 
     def list_voices(self):
@@ -453,3 +455,23 @@ async def test_cors_preflight_and_headers(tmp_path):
         assert "Access-Control-Allow-Origin" not in resp.headers
     finally:
         await client.close()
+
+
+async def test_tts_voice_blend_spec():
+    """Blend specs ("a*w+b*w") are accepted as voice_id end-to-end
+    (engine/synthesizer.py::blend_voices); unknown components stay 4xx."""
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "voice_id": "zf_001*0.5+zf_001*0.5"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["status"] == "success"
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "voice_id": "zf_001+no_such_voice"},
+            headers=auth_headers(),
+        )
+        assert 400 <= resp.status < 500

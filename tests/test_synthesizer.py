@@ -242,3 +242,53 @@ def test_absorb_drain(synth):
     synth.warmup(batch_sizes=(1,), token_sizes=(16,),
                  frame_sizes=(32,), absorb=True)
     assert synth.last_drain_s is not None and synth.last_drain_s >= 0.0
+
+
+class TestVoiceBlending:
+    """Blend specs "a*0.6+b*0.4" mix style packs (beyond-reference
+    capability; the reference loads exactly one pack per request,
+    pipeline.py:196-199)."""
+
+    def test_weighted_mix_matches_manual(self, synth):
+        synth.register_random_voice("vb_a", seed=11)
+        synth.register_random_voice("vb_b", seed=12)
+        a = synth.load_voice("vb_a")
+        b = synth.load_voice("vb_b")
+        mix = synth.load_voice("vb_a*0.75+vb_b*0.25")
+        np.testing.assert_allclose(mix, 0.75 * a + 0.25 * b, rtol=1e-6)
+
+    def test_equal_weights_default_and_normalization(self, synth):
+        synth.register_random_voice("vb_a", seed=11)
+        synth.register_random_voice("vb_b", seed=12)
+        eq = synth.load_voice("vb_a+vb_b")
+        scaled = synth.blend_voices("vb_a*2+vb_b*2")  # weights normalize
+        np.testing.assert_allclose(eq, scaled, rtol=1e-6)
+
+    def test_blend_is_cached(self, synth):
+        synth.register_random_voice("vb_a", seed=11)
+        synth.register_random_voice("vb_b", seed=12)
+        spec = "vb_a*0.5+vb_b*0.5"
+        p1 = synth.load_voice(spec)
+        assert spec in synth._voices
+        assert synth.load_voice(spec) is p1
+
+    def test_length_alignment(self, synth):
+        synth.register_voice("vb_short", np.ones((8, 2 * synth.config.style_dim)))
+        synth.register_random_voice("vb_long", seed=13)
+        mix = synth.load_voice("vb_short+vb_long")
+        assert mix.shape[0] == 8
+
+    def test_bad_specs(self, synth):
+        synth.register_random_voice("vb_a", seed=11)
+        for spec in ("vb_a*-1", "vb_a*x+vb_a", "vb_a*0", "+vb_a", "vb_a+nope"):
+            with pytest.raises(ValueError):
+                synth.blend_voices(spec)
+
+    def test_synthesis_with_blend_spec(self, synth):
+        synth.register_random_voice("vb_a", seed=11)
+        synth.register_random_voice("vb_b", seed=12)
+        audio = synth.synthesize_batch(
+            ["ni→xau↓ma"], ["vb_a*0.5+vb_b*0.5"]
+        )[0]
+        assert audio.size > 0 and np.all(np.isfinite(audio))
+        assert synth.is_voice_loaded("vb_a*0.5+vb_b*0.5")
