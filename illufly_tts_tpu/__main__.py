@@ -141,8 +141,11 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
               help="intra-utterance streaming decode: write audio chunks "
                    "to the wav as the decoder renders them (first audio "
                    "lands after one window, not the full utterance)")
+@click.option("--timestamps", is_flag=True,
+              help="also write word-level timestamps (from the duration "
+                   "predictor's rendered alignment) to OUTPUT.json")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          zh_dict, en_dict, segment, stream):
+          zh_dict, en_dict, segment, stream, timestamps):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
     if zh_dict:
@@ -181,6 +184,16 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
             0, np.float32
         )
         save_wav(output, audio, pipe.sample_rate)
+    elif timestamps:
+        import json as _json
+
+        audio, words = pipe.process_with_timestamps(
+            text, voice_id=voice_id, speed=speed, output_path=output
+        )
+        ts_path = os.path.splitext(output)[0] + ".json"
+        with open(ts_path, "w", encoding="utf-8") as f:
+            _json.dump({"words": words}, f, ensure_ascii=False, indent=1)
+        click.echo(f"wrote {ts_path}: {len(words)} word timestamps")
     else:
         audio = pipe.process(text, voice_id=voice_id, speed=speed,
                              output_path=output, segment_text=segment)

@@ -112,10 +112,12 @@ async def _process_tts_request(
     sequence_id: Optional[float],
     speed: float = 1.0,
     output_format: str = "f32",
+    return_timestamps: bool = False,
 ) -> Dict[str, Any]:
     task_id = await manager.submit_task(
         text=text, voice_id=voice_id, speed=speed, user_id=user_id,
         sequence_id=sequence_id, output_format=output_format,
+        return_timestamps=return_timestamps,
     )
     while True:
         status = await manager.get_task_status(task_id)
@@ -139,7 +141,7 @@ async def _process_tts_request(
         wav_bytes = encode_wav_mulaw(task.audio_chunks[0], rate)
     else:
         wav_bytes = encode_wav(task.audio_chunks[0], rate)
-    return {
+    out = {
         "status": "success",
         "task_id": task_id,
         "audio_base64": base64.b64encode(wav_bytes).decode("ascii"),
@@ -148,6 +150,9 @@ async def _process_tts_request(
         "created_at": status["created_at"],
         "completed_at": status["completed_at"],
     }
+    if return_timestamps:
+        out["timestamps"] = task.timestamps
+    return out
 
 
 def create_app(
@@ -271,6 +276,7 @@ def create_app(
         result = await _process_tts_request(
             manager, text, voice_id, user_id, sequence_id, speed,
             output_format,
+            return_timestamps=bool(body.get("return_timestamps", False)),
         )
         if result["status"] == "error":
             # voice problems are the caller's fault (4xx); everything

@@ -39,7 +39,7 @@ class DispatchHandle:
     __slots__ = (
         "n", "b_bucket", "t_bucket", "ids", "mask", "ref", "d",
         "pred_dur", "totals", "f_bucket", "audio", "fitted_totals",
-        "fmt",
+        "fmt", "keep_durations", "host_pred_dur",
     )
 
     def __init__(self, n, b_bucket, t_bucket, ids, mask, ref, d,
@@ -57,6 +57,8 @@ class DispatchHandle:
         self.audio = None
         self.fitted_totals = None
         self.fmt = fmt
+        self.keep_durations = False
+        self.host_pred_dur = None
 
 
 class Synthesizer:
@@ -483,6 +485,7 @@ class Synthesizer:
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
         fmt: str = "pcm16",
+        keep_durations: bool = False,
     ) -> "DispatchHandle":
         """Stage the batch and launch stage A (async). Returns a handle for
         ``launch_decode``/``collect``.  ``fmt`` selects the on-device
@@ -571,11 +574,13 @@ class Synthesizer:
             totals.copy_to_host_async()
         except AttributeError:  # older jax.Array surface
             pass
-        return DispatchHandle(
+        handle = DispatchHandle(
             n=n, b_bucket=b_bucket, t_bucket=t_bucket,
             ids=ids_d, mask=mask_d, ref=ref_d, d=d,
             pred_dur=pred_dur, totals=totals, fmt=self._as_fmt(fmt),
         )
+        handle.keep_durations = keep_durations
+        return handle
 
     def launch_decode(self, handle: "DispatchHandle") -> "DispatchHandle":
         """Pick the frame bucket and launch stage B (async). Idempotent."""
@@ -611,6 +616,10 @@ class Synthesizer:
                 audio.copy_to_host_async()
             except AttributeError:  # older jax.Array surface
                 pass
+        if handle.keep_durations:
+            # host copy of the quantized per-token frame counts (~32 KB at
+            # b32/T256) — basis for word timestamps (rendered_durations)
+            handle.host_pred_dur = np.asarray(handle.pred_dur)[: handle.n]
         # stage-A intermediates are no longer needed; let the device free them
         handle.d = handle.pred_dur = None
         return handle
@@ -653,6 +662,23 @@ class Synthesizer:
                 ).astype(np.int16)
             out.append(clip)
         return out
+
+    def rendered_durations(self, handle: "DispatchHandle") -> np.ndarray:
+        """Per-token frame counts actually rendered by stage B: the
+        stage-A quantized durations clipped to the chosen frame bucket
+        exactly as ``_fit_durations`` does inside the program (host
+        re-computation, no extra device sync). [n, T] int32; position 0
+        is BOS, phoneme char k sits at position k+1. Requires the handle
+        to have been dispatched with ``keep_durations=True``."""
+        if handle.host_pred_dur is None:
+            raise ValueError(
+                "dispatch(..., keep_durations=True) required for "
+                "rendered_durations"
+            )
+        self.launch_decode(handle)  # ensures f_bucket is chosen
+        pd = handle.host_pred_dur.astype(np.int64)
+        cum_prev = np.cumsum(pd, axis=-1) - pd
+        return np.clip(handle.f_bucket - cum_prev, 0, pd).astype(np.int32)
 
     # --- intra-utterance streaming decode -------------------------------------
 

@@ -69,6 +69,12 @@ class ChineseG2P:
 
     def convert_to_ipa(self, phonemes: str) -> str:
         """Zhuyin phoneme string -> IPA with arrow tones."""
+        result = self._convert_runs(phonemes).replace("/", " ")
+        return re.sub(r"\s{2,}", " ", result).strip()
+
+    def _convert_runs(self, phonemes: str) -> str:
+        """Zhuyin->IPA without the word-separator/whitespace cleanup
+        (shared by ``convert_to_ipa`` and ``text_to_ipa_words``)."""
         out = []
         pos = 0
         for match in _RE_ZHUYIN_SYLLABLE.finditer(phonemes):
@@ -82,8 +88,45 @@ class ChineseG2P:
             pos = match.end()
         if pos < len(phonemes):
             out.append(phonemes[pos:])
-        result = "".join(out).replace("/", " ")
-        return re.sub(r"\s{2,}", " ", result).strip()
+        return "".join(out)
+
+    def text_to_ipa_words(self, text: str):
+        """Per-word IPA: [(surface_word, word_ipa)] in utterance order,
+        where ``word_ipa`` is the word's slice of ``text_to_ipa(text)``
+        (same zhuyin->IPA conversion applied token-locally — word
+        boundaries are '/' separators, which the syllable regex never
+        crosses). Surface words are post-an2cn (numbers verbalized), the
+        jieba segmentation the frontend renders; English segments pair
+        word-by-word when the G2P keeps a 1:1 space alignment, else the
+        whole segment becomes one entry. Basis for word-level timestamps
+        (beyond-reference: the reference's MToken start_ts/end_ts fields
+        are never populated, english_g2p.py:640,698)."""
+        if not text.strip():
+            return []
+        text = an2cn(text)
+        text = self.map_punctuation(text)
+        entries = []
+        for en, zh in _RE_EN_RUN.findall(text):
+            en, zh = en.strip(), zh.strip()
+            if zh:
+                _, tokens = self.frontend(zh)
+                for tk in tokens:
+                    zy = tk.phonemes if tk.phonemes is not None else self.unk
+                    ipa = self._convert_runs(zy).replace("/", " ").strip()
+                    if ipa:
+                        entries.append((tk.text, ipa))
+            elif en:
+                if self.en_callable is None:
+                    entries.append((en, self.unk))
+                    continue
+                seg_ipa = self.en_callable(en).strip()
+                words = en.split()
+                parts = seg_ipa.split()
+                if len(words) == len(parts):
+                    entries.extend(zip(words, parts))
+                elif seg_ipa:
+                    entries.append((en, seg_ipa))
+        return entries
 
     def _zhuyin_chunk_to_ipa(self, chunk: str) -> str:
         # Split on tone digits: each syllable ends with its tone.

@@ -312,6 +312,86 @@ class TTSPipeline:
             save_wav(output_path, audio, self.sample_rate)
         return audio
 
+    def process_with_timestamps(
+        self,
+        text: str,
+        voice_id: str,
+        speed: float = 1.0,
+        output_path: Optional[str] = None,
+    ):
+        """Synthesize and return ``(audio, words)`` where ``words`` is
+        ``[{"text", "phonemes", "start_s", "end_s"}, ...]`` — word-level
+        timestamps derived from the duration predictor's quantized
+        per-phoneme frame counts (the exact alignment stage B renders,
+        engine/synthesizer.py::rendered_durations), not a post-hoc
+        forced alignment. Beyond-reference: the reference's MToken
+        start_ts/end_ts fields exist but are never populated
+        (english_g2p.py:640,698). Surfaces: this method, the
+        ``return_timestamps`` HTTP/scheduler flag, and `synth --timestamps`."""
+        normalized = self.preprocess_text(text)
+        ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
+        ipa = ipa[:MAX_PHONEMES]
+        handle = self.synthesizer.dispatch(
+            [ipa], [voice_id], [speed], keep_durations=True
+        )
+        audio = self.synthesizer.collect(handle)[0]
+        fitted = self.synthesizer.rendered_durations(handle)[0]
+        words = self._word_timestamps(normalized, ipa, fitted, handle.t_bucket)
+        if output_path:
+            os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+            save_wav(output_path, audio, self.sample_rate)
+        return audio, words
+
+    def _word_timestamps(self, normalized: str, ipa: str, fitted, t_bucket):
+        """Map per-token rendered frame counts to word spans.
+
+        The encoded sequence is BOS + kept-vocab chars of ``ipa`` + EOS
+        (model/vocab.py::encode drops unknown chars and truncates), so
+        phoneme char k sits at token position k+1; a word's span is the
+        prefix-sum window over its chars' tokens. Words come from
+        ``ChineseG2P.text_to_ipa_words`` and are located in ``ipa`` by
+        monotone substring search — a word that fails to locate (exotic
+        normalization edge) is skipped rather than guessed."""
+        from .model.vocab import VOCAB
+
+        spf = self.synthesizer.config.samples_per_frame
+        sec = spf / float(self.sample_rate)
+        kept_pos = {}
+        k = 0
+        max_kept = t_bucket - 2
+        for i, c in enumerate(ipa):
+            if c in VOCAB:
+                if k >= max_kept:
+                    break
+                kept_pos[i] = k
+                k += 1
+        prefix = np.concatenate(
+            [[0], np.cumsum(np.asarray(fitted, np.int64))]
+        )
+        words = []
+        cursor = 0
+        for surface, wipa in self.g2p.text_to_ipa_words(normalized):
+            if not wipa:
+                continue
+            idx = ipa.find(wipa, cursor)
+            if idx < 0:
+                continue
+            cursor = idx + len(wipa)
+            ks = [
+                kept_pos[i]
+                for i in range(idx, idx + len(wipa))
+                if i in kept_pos
+            ]
+            if not ks:
+                continue
+            words.append({
+                "text": surface,
+                "phonemes": wipa,
+                "start_s": round(float(prefix[ks[0] + 1]) * sec, 4),
+                "end_s": round(float(prefix[ks[-1] + 2]) * sec, 4),
+            })
+        return words
+
     def stream_process(
         self,
         text: str,
@@ -396,6 +476,61 @@ class TTSPipeline:
                 raise
             logger.exception("synthesis failed; returning silence")
             return [self._silence(output_format) for _ in texts]
+
+    def batch_process_texts_with_timestamps(
+        self,
+        texts: Sequence[str],
+        voice_ids: Sequence[str],
+        speeds: Optional[Sequence[float]] = None,
+        output_format: str = "f32",
+        want: Optional[Sequence[bool]] = None,
+    ):
+        """Like ``batch_process_texts`` but returns ``(audios, stamps)``
+        where ``stamps[i]`` is the word-timestamp list for item i (see
+        ``process_with_timestamps``), or None for items whose ``want[i]``
+        is False (their frontend is not re-walked). One fused batched
+        model call; the batch must fit the largest batch bucket (the
+        scheduler's batch_size always does)."""
+        if speeds is None:
+            speeds = [1.0] * len(texts)
+        if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
+            raise ValueError(f"unknown output_format: {output_format!r}")
+        from .utils.profiling import TIMERS
+
+        try:
+            with TIMERS.track("frontend"):
+                normalized = [self.preprocess_text(t) for t in texts]
+                ipa_list = [
+                    self.phonemes_to_ipa(self.text_to_phonemes(n))[
+                        :MAX_PHONEMES
+                    ]
+                    for n in normalized
+                ]
+            fmt, pcm16 = self._device_fmt(output_format)
+            with TIMERS.track("model"):
+                handle = self.synthesizer.dispatch(
+                    ipa_list, voice_ids, speeds, fmt=fmt,
+                    keep_durations=True,
+                )
+                audios = self.synthesizer.collect(handle, pcm16=pcm16)
+                fitted = self.synthesizer.rendered_durations(handle)
+        except Exception:
+            if not self.fail_silent:
+                raise
+            logger.exception("synthesis failed; returning silence")
+            return (
+                [self._silence(output_format) for _ in texts],
+                [None] * len(texts),
+            )
+        stamps = []
+        for i, (n, ipa) in enumerate(zip(normalized, ipa_list)):
+            if want is not None and not want[i]:
+                stamps.append(None)
+            else:
+                stamps.append(
+                    self._word_timestamps(n, ipa, fitted[i], handle.t_bucket)
+                )
+        return audios, stamps
 
     def _texts_to_ipa(self, texts: Sequence[str]) -> List[str]:
         from .utils.profiling import TIMERS

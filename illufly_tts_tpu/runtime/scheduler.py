@@ -61,6 +61,8 @@ class TTSTask:
     audio_chunks: List[np.ndarray] = field(default_factory=list)
     debug_id: Optional[str] = None
     output_format: str = "f32"  # 'f32' | 'pcm16' | 'mulaw8k' | 'mulaw24k'
+    want_timestamps: bool = False
+    timestamps: Optional[List[Dict[str, Any]]] = None  # word-level, opt-in
 
     def to_status_dict(self) -> Dict[str, Any]:
         return {
@@ -176,6 +178,7 @@ class TTSServiceManager:
         user_id: Optional[str] = None,
         sequence_id: Optional[float] = None,
         output_format: str = "f32",
+        return_timestamps: bool = False,
     ) -> str:
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
@@ -204,6 +207,7 @@ class TTSServiceManager:
         task = TTSTask(
             task_id=task_id, text=text, voice_id=voice_id, speed=speed,
             user_id=user_id, output_format=output_format,
+            want_timestamps=return_timestamps,
         )
         if sequence_id is not None:
             task.sequence_id = float(sequence_id)
@@ -379,7 +383,21 @@ class TTSServiceManager:
             speeds = [t.speed for t in batch]
             fmt = batch[0].output_format  # _select_batch groups by format
             start = time.time()
-            if getattr(self.pipeline, "supports_split_phase", False):
+            want = [t.want_timestamps for t in batch]
+            ts_fn = getattr(
+                self.pipeline, "batch_process_texts_with_timestamps", None
+            )
+            if any(want) and ts_fn is not None:
+                # timestamp batches take the fused (non-split-phase) path:
+                # the duration capture rides the same dispatch, only the
+                # decode-ahead overlap is given up for this batch
+                audios, stamps = await asyncio.to_thread(
+                    ts_fn, texts, voices, speeds, fmt, want
+                )
+                for task, ts in zip(batch, stamps):
+                    if task.want_timestamps:
+                        task.timestamps = ts
+            elif getattr(self.pipeline, "supports_split_phase", False):
                 audios = await self._run_batch_split(
                     texts, voices, speeds, fmt
                 )

@@ -41,6 +41,19 @@ class FakePipeline:
             return [np.full(800, 0xFF, np.uint8) for _ in texts]
         return [np.zeros(2400, np.float32) for _ in texts]
 
+    def batch_process_texts_with_timestamps(self, texts, voice_ids,
+                                            speeds=None,
+                                            output_format="f32",
+                                            want=None):
+        audios = self.batch_process_texts(texts, voice_ids, speeds,
+                                          output_format)
+        stamps = [
+            [{"text": t, "phonemes": "x", "start_s": 0.0, "end_s": 0.1}]
+            if (want is None or want[i]) else None
+            for i, t in enumerate(texts)
+        ]
+        return audios, stamps
+
     def output_rate(self, output_format="f32"):
         return 8000 if output_format == "mulaw8k" else self.sample_rate
 
@@ -475,3 +488,23 @@ async def test_tts_voice_blend_spec():
             headers=auth_headers(),
         )
         assert 400 <= resp.status < 500
+
+
+async def test_tts_return_timestamps():
+    """'return_timestamps': true adds word timestamps to the response;
+    requests without the flag get no such field."""
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "return_timestamps": True},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["timestamps"] == [
+            {"text": "你好", "phonemes": "x", "start_s": 0.0, "end_s": 0.1}
+        ]
+        resp = await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        assert "timestamps" not in await resp.json()
