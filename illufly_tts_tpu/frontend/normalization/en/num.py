@@ -94,12 +94,16 @@ def num_to_words(value_string: str) -> str:
 
 # --- regex replacers ---------------------------------------------------------
 
-RE_NUMBER = re.compile(r"(-?)(\d+(?:,\d{3})*(?:\.\d+)?|\.\d+)")
-RE_PERCENT = re.compile(r"(-?)(\d+(?:\.\d+)?)\s*%")
+# A leading '-' counts as a minus sign only when it is not an intra-word
+# hyphen ("9-to-5", "x-5"): require a non-alphanumeric left context.
+RE_NUMBER = re.compile(
+    r"((?<![A-Za-z0-9])-)?(\d+(?:,\d{3})*(?:\.\d+)?|\.\d+)"
+)
+RE_PERCENT = re.compile(r"((?<![A-Za-z0-9])-)?(\d+(?:\.\d+)?)\s*%")
 RE_FRACTION = re.compile(r"(?<![\d.])(\d+)\s*/\s*(\d+)(?![\d.])")
 RE_RANGE = re.compile(r"(\d+(?:\.\d+)?)\s*[-~]\s*(\d+(?:\.\d+)?)")
-RE_DECIMAL = re.compile(r"(-?)(\d+\.\d+)")
-RE_INTEGER = re.compile(r"(-)(\d+)")
+RE_DECIMAL = re.compile(r"((?<![A-Za-z0-9])-)?(\d+\.\d+)")
+RE_INTEGER = re.compile(r"((?<![A-Za-z0-9])-)(\d+)")
 
 _FRACTION_UNITS = {2: ("half", "halves"), 4: ("quarter", "quarters")}
 

@@ -304,3 +304,75 @@ def test_en_bare_number_not_year(mine_en):
     assert "thirteen sixty eight to sixteen forty four" in _en(
         mine_en, "The dynasty ruled from 1368-1644."
     )
+
+
+def _en_battery():
+    """Generated clean-subset battery: constructs the reference's en
+    cascade handles correctly (plain cardinals, special-cased fractions,
+    percents, HH:MM times with minutes >= 10, grouped phone digits).
+    On these we assert bit-parity; the garbled constructs are pinned as
+    divergences above."""
+    import random
+
+    rng = random.Random(42)
+    cases = []
+    for n in [0, 1, 5, 13, 17, 42, 99, 100, 105, 250, 999, 1000, 5000,
+              123456, 999999]:
+        cases += [f"There are {n} items.", f"He counted {n} stars."]
+    for _ in range(30):
+        cases.append(
+            f"We shipped {rng.randint(0, 10 ** rng.randint(1, 6))} units."
+        )
+    for num, den in [(1, 2), (3, 4), (2, 3), (1, 3), (1, 4)]:
+        cases.append(f"About {num}/{den} of them agreed.")
+    for pc in ["5%", "85%", "100%", "12.5%", "7%", "33%"]:
+        cases.append(f"Revenue grew {pc} this quarter.")
+    for t in ["8:30", "10:45", "12:15", "23:59", "6:20", "14:40"]:
+        cases.append(f"The train leaves at {t}.")
+    for _ in range(15):
+        h, mnt = rng.randint(1, 23), rng.randint(10, 59)
+        if mnt in (15, 30, 45):
+            mnt = 37
+        cases.append(f"It happened at {h}:{mnt}.")
+    cases += ["Call me at 555-1234.", "Chapter 7 begins here.",
+              "Page 123 of 456.", "I have 2 cats and 3 dogs.",
+              "The temperature is 72 degrees.", "Route 66 is famous.",
+              "It weighs 25 kg.", "He scored 99 points.",
+              "Take exit 12 and drive 8 miles.", "Room 403 is ready."]
+    return cases
+
+
+def test_en_generated_battery_identical(ref_en, mine_en):
+    """100+ generated clean-subset cases are bit-identical to the actual
+    reference en implementation (where it is not buggy, we match it)."""
+    diffs = []
+    for case in _en_battery():
+        ref = _en(ref_en, case)
+        mine = _en(mine_en, case)
+        if ref != mine:
+            diffs.append((case, ref, mine))
+    assert not diffs, "\n".join(
+        f"{c}\n  ref : {r}\n  mine: {m}" for c, r, m in diffs
+    )
+
+
+def test_en_general_fraction_reference_crash(ref_en, mine_en):
+    """The reference's general-fraction path calls an UNDEFINED
+    verbalize_ordinal (en/num.py:201 — NameError at runtime for any
+    denominator outside its half/third/quarter special cases). We read
+    '5/8' as 'five eighths'."""
+    with pytest.raises(NameError):
+        ref_en.normalize("About 5/8 of them.")
+    assert "five eighths" in _en(mine_en, "About 5/8 of them.")
+
+
+def test_en_intra_word_hyphen_not_minus(mine_en):
+    """An intra-word hyphen is not a minus sign: '9-to-5' reads
+    'nine-to-five' (the reference garbles it to
+    'nineminustonegative five'); standalone signs still read as minus."""
+    assert "nine-to-five" in _en(mine_en, "A 9-to-5 job.")
+    assert "minus five" in _en(mine_en, "It is -5 outside.")
+    assert "minus twelve point five" in _en(
+        mine_en, "It was -12.5 degrees."
+    )
+    assert "x-five" in _en(mine_en, "x-5 is negative")
