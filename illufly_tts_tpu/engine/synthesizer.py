@@ -39,7 +39,7 @@ class DispatchHandle:
     __slots__ = (
         "n", "b_bucket", "t_bucket", "ids", "mask", "ref", "d",
         "pred_dur", "totals", "f_bucket", "audio", "fitted_totals",
-        "fmt", "keep_durations", "host_pred_dur",
+        "fmt", "keep_durations", "host_pred_dur", "ts_ctx",
     )
 
     def __init__(self, n, b_bucket, t_bucket, ids, mask, ref, d,
@@ -59,6 +59,7 @@ class DispatchHandle:
         self.fmt = fmt
         self.keep_durations = False
         self.host_pred_dur = None
+        self.ts_ctx = None  # pipeline-owned frontend context for timestamps
 
 
 class Synthesizer:

@@ -562,6 +562,7 @@ class TTSPipeline:
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
         output_format: str = "f32",
+        want_timestamps: Optional[Sequence[bool]] = None,
     ):
         """Frontend + stage A for one batch; returns an opaque handle for
         ``launch_decode``/``collect_batch``. Splitting the phases lets the
@@ -569,12 +570,54 @@ class TTSPipeline:
         audio streams to host — the schedule that takes the device loop
         from ~sum(stages) to ~max(compute, transfer) per batch (bench.py
         pinned loop). The batch must fit the largest batch bucket (the
-        scheduler's batch_size always does)."""
+        scheduler's batch_size always does). ``want_timestamps[i]`` asks
+        for word timestamps for row i (fetched after ``collect_batch``
+        via ``collect_timestamps``) — the duration capture rides the same
+        dispatch, so timestamped batches keep the decode-ahead overlap."""
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
-        ipa_list = self._texts_to_ipa(texts)
+        keep = want_timestamps is not None and any(want_timestamps)
+        if keep:
+            from .utils.profiling import TIMERS
+
+            with TIMERS.track("frontend"):
+                normalized = [self.preprocess_text(t) for t in texts]
+                ipa_list = [
+                    self.phonemes_to_ipa(self.text_to_phonemes(n))[
+                        :MAX_PHONEMES
+                    ]
+                    for n in normalized
+                ]
+        else:
+            normalized = None
+            ipa_list = self._texts_to_ipa(texts)
         fmt, _ = self._device_fmt(output_format)
-        return self.synthesizer.dispatch(ipa_list, voice_ids, speeds, fmt=fmt)
+        handle = self.synthesizer.dispatch(
+            ipa_list, voice_ids, speeds, fmt=fmt, keep_durations=keep
+        )
+        if keep:
+            handle.ts_ctx = (normalized, ipa_list, list(want_timestamps))
+        return handle
+
+    def collect_timestamps(self, handle):
+        """Word timestamps for a split-phase batch dispatched with
+        ``want_timestamps``: ``[stamps_or_None] * n`` aligned to the batch
+        rows (None where the row didn't ask). Call after
+        ``collect_batch`` — the host duration copy rides the same
+        readback, so this is pure host work."""
+        ctx = getattr(handle, "ts_ctx", None)
+        if ctx is None:
+            raise ValueError(
+                "dispatch_texts(..., want_timestamps=...) required for "
+                "collect_timestamps"
+            )
+        normalized, ipa_list, want = ctx
+        fitted = self.synthesizer.rendered_durations(handle)
+        return [
+            self._word_timestamps(n, ipa, fitted[i], handle.t_bucket)
+            if want[i] else None
+            for i, (n, ipa) in enumerate(zip(normalized, ipa_list))
+        ]
 
     def launch_decode(self, handle):
         """Launch stage B for a dispatched batch (async, idempotent)."""
@@ -656,7 +699,8 @@ class _CachedDispatch:
     dispatch time; ``inner`` is the device handle for the deduped misses
     (None when every row hit)."""
 
-    __slots__ = ("inner", "results", "uncached", "unique_row", "keys")
+    __slots__ = ("inner", "results", "uncached", "unique_row", "keys",
+                 "want", "stamps")
 
     def __init__(self):
         self.inner = None
@@ -664,6 +708,8 @@ class _CachedDispatch:
         self.uncached: List[int] = []
         self.unique_row: Dict[int, int] = {}
         self.keys: Dict[int, str] = {}
+        self.want: Optional[List[bool]] = None
+        self.stamps: Optional[List[Optional[list]]] = None
 
 
 class CachedTTSPipeline(TTSPipeline):
@@ -761,18 +807,26 @@ class CachedTTSPipeline(TTSPipeline):
         # the ONE place the audio-cache key format is spelled
         return f"audio:{fmt}:{voice}:{speed}:{text}"
 
-    def _plan_audio_batch(self, texts, voice_ids, speeds, output_format):
+    def _plan_audio_batch(self, texts, voice_ids, speeds, output_format,
+                          want=None, stamps=None):
         """Shared hit/dedup plan for the split-phase and blocking paths:
         -> (results with hits pre-filled, uncached rows, row->unique-slot
-        map, row->cache-key map, unique compute rows)."""
+        map, row->cache-key map, unique compute rows). A row that wants
+        timestamps (``want[i]``) only counts as a hit when its stamps are
+        cached too (filled into ``stamps[i]``); otherwise it recomputes."""
         results: List[Optional[np.ndarray]] = []
         uncached: List[int] = []
         for i, (text, voice, speed) in enumerate(
             zip(texts, voice_ids, speeds)
         ):
-            audio = self._audio_cache_get(
-                self._audio_key(output_format, voice, speed, text)
-            )
+            key = self._audio_key(output_format, voice, speed, text)
+            audio = self._audio_cache_get(key)
+            if audio is not None and want is not None and want[i]:
+                st = self._audio_cache_get("stamps:" + key)
+                if st is None:
+                    audio = None  # audio hit without stamps: recompute
+                else:
+                    stamps[i] = st
             results.append(audio)
             if audio is None:
                 uncached.append(i)
@@ -798,25 +852,41 @@ class CachedTTSPipeline(TTSPipeline):
         return results, uncached, unique_row, keys, compute_idx
 
     def dispatch_texts(self, texts, voice_ids, speeds=None,
-                       output_format="f32"):
+                       output_format="f32", want_timestamps=None):
         """Split-phase dispatch with the audio cache applied first: cached
         rows are pre-filled, only the deduped misses go to the device (the
-        same hit/dedup scheme as batch_process_texts)."""
+        same hit/dedup scheme as batch_process_texts). Timestamped rows
+        hit only when their stamps are cached alongside the audio."""
         if speeds is None:
             speeds = [1.0] * len(texts)
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         h = _CachedDispatch()
+        if want_timestamps is not None and any(want_timestamps):
+            h.want = list(want_timestamps)
+            h.stamps = [None] * len(texts)
         (h.results, h.uncached, h.unique_row, h.keys,
          compute_idx) = self._plan_audio_batch(
-            texts, voice_ids, speeds, output_format
+            texts, voice_ids, speeds, output_format,
+            want=h.want, stamps=h.stamps,
         )
         if h.uncached:
+            compute_want = None
+            if h.want is not None:
+                # a unique compute slot wants durations when ANY row
+                # deduped onto it asks for timestamps
+                slot_want = [False] * len(compute_idx)
+                for i in h.uncached:
+                    if h.want[i]:
+                        slot_want[h.unique_row[i]] = True
+                if any(slot_want):
+                    compute_want = slot_want
             h.inner = super().dispatch_texts(
                 [texts[i] for i in compute_idx],
                 [voice_ids[i] for i in compute_idx],
                 [speeds[i] for i in compute_idx],
                 output_format=output_format,
+                want_timestamps=compute_want,
             )
         return h
 
@@ -828,11 +898,29 @@ class CachedTTSPipeline(TTSPipeline):
     def collect_batch(self, handle, output_format="f32"):
         if handle.inner is not None:
             fresh = super().collect_batch(handle.inner, output_format)
+            fresh_stamps = None
+            if (handle.want is not None
+                    and getattr(handle.inner, "ts_ctx", None) is not None):
+                fresh_stamps = super().collect_timestamps(handle.inner)
             for i in handle.uncached:
                 audio = fresh[handle.unique_row[i]]
                 handle.results[i] = audio
                 self._audio_cache_put(handle.keys[i], audio)
+                if fresh_stamps is not None and handle.want[i]:
+                    st = fresh_stamps[handle.unique_row[i]]
+                    handle.stamps[i] = st
+                    self._audio_cache_put("stamps:" + handle.keys[i], st)
         return handle.results
+
+    def collect_timestamps(self, handle):
+        """Stamps for a ``want_timestamps`` dispatch: cache hits were
+        pre-filled at dispatch, fresh rows during ``collect_batch``."""
+        if handle.want is None:
+            raise ValueError(
+                "dispatch_texts(..., want_timestamps=...) required for "
+                "collect_timestamps"
+            )
+        return handle.stamps
 
     def batch_process_texts(self, texts, voice_ids, speeds=None,
                             output_format="f32"):

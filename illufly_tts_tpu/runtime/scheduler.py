@@ -387,20 +387,29 @@ class TTSServiceManager:
             ts_fn = getattr(
                 self.pipeline, "batch_process_texts_with_timestamps", None
             )
-            if any(want) and ts_fn is not None:
-                # timestamp batches take the fused (non-split-phase) path:
-                # the duration capture rides the same dispatch, only the
-                # decode-ahead overlap is given up for this batch
+            split_ok = getattr(self.pipeline, "supports_split_phase", False)
+            if split_ok and (
+                not any(want)
+                or hasattr(self.pipeline, "collect_timestamps")
+            ):
+                # the duration capture rides the split-phase dispatch, so
+                # timestamped batches keep the decode-ahead overlap
+                audios, stamps = await self._run_batch_split(
+                    texts, voices, speeds, fmt,
+                    want if any(want) else None,
+                )
+                if stamps is not None:
+                    for task, ts in zip(batch, stamps):
+                        if task.want_timestamps:
+                            task.timestamps = ts
+            elif any(want) and ts_fn is not None:
+                # fused fallback for pipelines without the split surface
                 audios, stamps = await asyncio.to_thread(
                     ts_fn, texts, voices, speeds, fmt, want
                 )
                 for task, ts in zip(batch, stamps):
                     if task.want_timestamps:
                         task.timestamps = ts
-            elif getattr(self.pipeline, "supports_split_phase", False):
-                audios = await self._run_batch_split(
-                    texts, voices, speeds, fmt
-                )
             elif fmt == "f32":
                 # default format goes through the legacy 3-arg call so
                 # duck-typed pipelines (an extension point) keep working
@@ -480,15 +489,18 @@ class TTSServiceManager:
             self._evict_history()
             self._wakeup.set()  # the loop may now select this batch's users
 
-    async def _run_batch_split(self, texts, voices, speeds, fmt):
+    async def _run_batch_split(self, texts, voices, speeds, fmt,
+                               want=None):
         """Decode-ahead pipelining through the pipeline's split-phase
         surface: batch k+1's host frontend + stage A run while batch k
         decodes, and collecting batch k first launches batch k+1's stage B
         so k's device->host PCM transfer overlaps k+1's compute. Handles
         collect strictly FIFO (the order their stage A was dispatched), so
-        completion order stays deterministic under concurrency."""
+        completion order stays deterministic under concurrency. Returns
+        ``(audios, stamps_or_None)``; ``want`` asks for per-row word
+        timestamps (rides the same dispatch)."""
         handle = await asyncio.to_thread(
-            self.pipeline.dispatch_texts, texts, voices, speeds, fmt
+            self._dispatch_split, texts, voices, speeds, fmt, want
         )
         self._decode_q.append(handle)
         try:
@@ -498,13 +510,20 @@ class TTSServiceManager:
                 self._head_event.clear()
                 await self._head_event.wait()
             return await asyncio.to_thread(
-                self._decode_collect, handle, fmt
+                self._decode_collect, handle, fmt, want
             )
         finally:
             self._decode_q.remove(handle)
             self._head_event.set()  # synchronous: safe under cancellation
 
-    def _decode_collect(self, handle, fmt):
+    def _dispatch_split(self, texts, voices, speeds, fmt, want):
+        if want is None:
+            return self.pipeline.dispatch_texts(texts, voices, speeds, fmt)
+        return self.pipeline.dispatch_texts(
+            texts, voices, speeds, fmt, want_timestamps=want
+        )
+
+    def _decode_collect(self, handle, fmt, want=None):
         # worker thread; `handle` is the queue head and stays head until
         # this returns (only the head's runner removes it), so peeking
         # index 1 is race-free
@@ -516,7 +535,12 @@ class TTSServiceManager:
                 # deferred: the next batch's own collect will re-raise it
                 # under that batch's failure policy
                 logger.exception("decode-ahead launch failed")
-        return self.pipeline.collect_batch(handle, fmt)
+        audios = self.pipeline.collect_batch(handle, fmt)
+        stamps = (
+            self.pipeline.collect_timestamps(handle)
+            if want is not None else None
+        )
+        return audios, stamps
 
     @staticmethod
     def _save_task_wav(path, audio, fmt, rate):

@@ -120,6 +120,80 @@ class TestPipelineTimestamps:
 
 
 @pytest.mark.slow
+class TestSplitPhaseTimestamps:
+    """Timestamps ride the split-phase dispatch (decode-ahead kept)."""
+
+    @pytest.fixture(scope="class")
+    def cached_pipe(self):
+        from illufly_tts_tpu.engine.synthesizer import Synthesizer
+        from illufly_tts_tpu.pipeline import CachedTTSPipeline
+        from tests.test_model import tiny_config
+
+        s = Synthesizer(
+            config=tiny_config(),
+            token_buckets=(32, 64),
+            frame_buckets=(64, 128, 256),
+        )
+        s.register_random_voice("v", seed=3)
+        return CachedTTSPipeline(synthesizer=s)
+
+    def test_split_phase_stamps_match_fused(self, cached_pipe):
+        texts = ["今天天气真好。", "你好世界。"]
+        want = [True, False]
+        h = cached_pipe.dispatch_texts(
+            texts, ["v", "v"], [1.0, 1.0], want_timestamps=want
+        )
+        audios = cached_pipe.collect_batch(h)
+        stamps = cached_pipe.collect_timestamps(h)
+        assert stamps[1] is None
+        assert stamps[0] and stamps[0][-1]["end_s"] > 0
+        _, fused = cached_pipe.batch_process_texts_with_timestamps(
+            texts[:1], ["v"], [1.0], want=[True]
+        )
+        assert stamps[0] == fused[0]
+        assert audios[0].size > 0
+
+    def test_cache_hit_serves_stamps(self, cached_pipe):
+        """Second identical timestamped request is a full cache hit
+        (audio AND stamps — no device dispatch)."""
+        text = "缓存命中测试。"
+        h1 = cached_pipe.dispatch_texts(
+            [text], ["v"], [1.0], want_timestamps=[True]
+        )
+        cached_pipe.collect_batch(h1)
+        first = cached_pipe.collect_timestamps(h1)[0]
+        assert first
+        h2 = cached_pipe.dispatch_texts(
+            [text], ["v"], [1.0], want_timestamps=[True]
+        )
+        assert h2.inner is None  # pure cache hit, nothing dispatched
+        audios = cached_pipe.collect_batch(h2)
+        assert audios[0] is not None
+        assert cached_pipe.collect_timestamps(h2)[0] == first
+
+    def test_audio_hit_without_stamps_recomputes(self, cached_pipe):
+        """A row whose audio is cached from a plain request still
+        recomputes when it asks for timestamps (stamps not yet cached),
+        then hits on the next ask."""
+        text = "先无时间戳后有。"
+        plain = cached_pipe.dispatch_texts([text], ["v"], [1.0])
+        cached_pipe.collect_batch(plain)  # audio now cached, no stamps
+        h = cached_pipe.dispatch_texts(
+            [text], ["v"], [1.0], want_timestamps=[True]
+        )
+        assert h.inner is not None  # demoted to recompute
+        cached_pipe.collect_batch(h)
+        stamps = cached_pipe.collect_timestamps(h)[0]
+        assert stamps
+        h2 = cached_pipe.dispatch_texts(
+            [text], ["v"], [1.0], want_timestamps=[True]
+        )
+        assert h2.inner is None
+        cached_pipe.collect_batch(h2)
+        assert cached_pipe.collect_timestamps(h2)[0] == stamps
+
+
+@pytest.mark.slow
 def test_scheduler_returns_timestamps():
     """return_timestamps rides the task machinery end-to-end."""
     import asyncio
