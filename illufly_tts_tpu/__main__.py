@@ -174,8 +174,24 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         chunks = []
         t0 = _time.perf_counter()
         ttfa = None
-        for chunk in pipe.stream_process(text, voice_id=voice_id,
-                                         speed=speed):
+        if timestamps:
+            # stamps are known at dispatch — before any audio renders
+            words, gen = pipe.stream_process_with_timestamps(
+                text, voice_id=voice_id, speed=speed
+            )
+            import json as _json
+
+            ts_path = os.path.splitext(output)[0] + ".json"
+            with open(ts_path, "w", encoding="utf-8") as f:
+                _json.dump({"words": words}, f, ensure_ascii=False,
+                           indent=1)
+            click.echo(
+                f"wrote {ts_path}: {len(words)} word timestamps "
+                f"({_time.perf_counter() - t0:.3f}s, before first audio)"
+            )
+        else:
+            gen = pipe.stream_process(text, voice_id=voice_id, speed=speed)
+        for chunk in gen:
             if ttfa is None:
                 ttfa = _time.perf_counter() - t0
                 click.echo(f"first audio after {ttfa:.3f}s")
@@ -400,8 +416,10 @@ def _make_client(process_command, process_args, server_host, server_port):
               help="comma-separated subprocess args")
 @click.option("--server-host", default=None, help="SSE server host")
 @click.option("--server-port", default=31572, type=int)
+@click.option("--timestamps", is_flag=True,
+              help="also write word-level timestamps to OUTPUT.json")
 def speak(text, output, voice_id, speed, process_command, process_args,
-          server_host, server_port):
+          server_host, server_port, timestamps):
     """Synthesize TEXT via an MCP server and save the wav."""
     import asyncio
     import base64
@@ -410,13 +428,23 @@ def speak(text, output, voice_id, speed, process_command, process_args,
         c = _make_client(process_command, process_args,
                          server_host, server_port)
         async with c:
-            result = await c.text_to_speech(text, voice_id, speed)
+            result = await c.text_to_speech(
+                text, voice_id, speed, return_timestamps=timestamps
+            )
         if not isinstance(result, dict) or result.get("status") != "success":
             err = result.get("error") if isinstance(result, dict) else result
             raise click.ClickException(f"synthesis failed: {err}")
         wav = base64.b64decode(result["audio_base64"])
         with open(output, "wb") as f:
             f.write(wav)
+        if timestamps:
+            import json as _json
+
+            ts_path = os.path.splitext(output)[0] + ".json"
+            with open(ts_path, "w", encoding="utf-8") as f:
+                _json.dump({"words": result.get("timestamps") or []},
+                           f, ensure_ascii=False, indent=1)
+            click.echo(f"wrote {ts_path}")
         click.echo(f"wrote {output} ({len(wav)} bytes, "
                    f"{result.get('sample_rate')} Hz)")
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import base64
+import json
 import logging
 import os
 import tempfile
@@ -327,6 +328,7 @@ def create_app(
             raise web.HTTPBadRequest(reason="missing 'text'")
         voice_id = body.get("voice_id", "zf_001")
         speed = _parse_speed(body)
+        return_timestamps = bool(body.get("return_timestamps", False))
         manager: TTSServiceManager = request.app["service_manager"]
         user_id = user.get("user_id")
 
@@ -342,12 +344,80 @@ def create_app(
                 await manager.submit_task(
                     segment, voice_id, speed, user_id,
                     sequence_id=base_seq + i * 1e-3,
+                    return_timestamps=return_timestamps,
                 )
             )
 
         import struct
 
+        import numpy as np
+
         rate = manager.pipeline.sample_rate
+
+        def to_pcm16(chunk: "np.ndarray") -> "np.ndarray":
+            if chunk.dtype == np.int16:
+                return chunk.astype("<i2")
+            peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
+            if peak > 1.0:
+                chunk = chunk / peak
+            return (np.clip(chunk, -1, 1) * 32767).astype("<i2")
+
+        if return_timestamps:
+            # NDJSON mode: one JSON line per segment as it completes —
+            # base64 PCM16 + word timestamps offset to the stream's
+            # global timeline (a raw audio/wav body has nowhere to put
+            # stamps mid-stream). Line-oriented so a client can caption
+            # while audio is still rendering.
+            response = web.StreamResponse(
+                status=200,
+                headers={
+                    "Content-Type": "application/x-ndjson",
+                    "X-Segments": str(len(segments)),
+                },
+            )
+            await response.prepare(request)
+            offset = 0.0
+            for i, task_id in enumerate(task_ids):
+                parts = []
+                async for chunk in manager.stream_result(task_id):
+                    parts.append(chunk)
+                status = await manager.get_task_status(task_id)
+                if not status or status["status"] != "completed":
+                    await response.write((json.dumps({
+                        "segment": i,
+                        "status": (status or {}).get("status", "unknown"),
+                        "error": (status or {}).get("error"),
+                    }) + "\n").encode())
+                    # truncated transfer, not a clean end (same contract
+                    # as the WAV path below)
+                    response.force_close()
+                    return response
+                pcm = to_pcm16(
+                    np.concatenate(parts)
+                    if parts else np.zeros(0, np.float32)
+                )
+                task = manager.tasks[task_id]
+                stamps = [
+                    {
+                        **w,
+                        "start_s": round(w["start_s"] + offset, 4),
+                        "end_s": round(w["end_s"] + offset, 4),
+                    }
+                    for w in (task.timestamps or [])
+                ]
+                await response.write((json.dumps({
+                    "segment": i,
+                    "status": "completed",
+                    "audio_base64":
+                        base64.b64encode(pcm.tobytes()).decode("ascii"),
+                    "sample_rate": rate,
+                    "format": "pcm16",
+                    "offset_s": round(offset, 4),
+                    "timestamps": stamps,
+                }) + "\n").encode())
+                offset += pcm.shape[0] / float(rate)
+            await response.write_eof()
+            return response
         response = web.StreamResponse(
             status=200,
             headers={
@@ -363,16 +433,9 @@ def create_app(
             + b"data" + struct.pack("<I", 0xFFFFFFFF - 44)
         )
         await response.write(header)
-        import numpy as np
-
         for task_id in task_ids:
             async for chunk in manager.stream_result(task_id):
-                if chunk.dtype != np.int16:
-                    peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
-                    if peak > 1.0:
-                        chunk = chunk / peak
-                    chunk = (np.clip(chunk, -1, 1) * 32767).astype("<i2")
-                await response.write(chunk.astype("<i2").tobytes())
+                await response.write(to_pcm16(chunk).tobytes())
             status = await manager.get_task_status(task_id)
             if status and status["status"] != "completed":
                 # a failed/canceled segment must not masquerade as a

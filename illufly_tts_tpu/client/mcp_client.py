@@ -258,10 +258,15 @@ class TTSMcpClient:
         return p.parse_content_text(result)
 
     async def text_to_speech(self, text: str, voice: str = "zf_001",
-                             speed: float = 1.0) -> Dict[str, Any]:
-        return await self.call_tool("text_to_speech", {
+                             speed: float = 1.0,
+                             return_timestamps: bool = False,
+                             ) -> Dict[str, Any]:
+        args: Dict[str, Any] = {
             "text": text, "voice": voice, "speed": speed,
-        })
+        }
+        if return_timestamps:
+            args["return_timestamps"] = True
+        return await self.call_tool("text_to_speech", args)
 
     async def list_voices(self) -> List[Dict[str, Any]]:
         result = await self.call_tool("list_voices", {})

@@ -583,21 +583,29 @@ class Synthesizer:
         handle.keep_durations = keep_durations
         return handle
 
+    def _pick_f_bucket(self, handle: "DispatchHandle") -> int:
+        """Choose (and record on the handle) the frame bucket for this
+        batch. Idempotent, launches nothing — shared by launch_decode,
+        stream_decode, and rendered_durations so all three agree."""
+        if handle.f_bucket is None:
+            totals_np = np.asarray(handle.totals)  # usually already host
+            handle.f_bucket = (
+                self.frame_buckets[0] if len(self.frame_buckets) == 1
+                else pick(
+                    self.frame_buckets, int(totals_np[: handle.n].max())
+                )
+            )
+            # stage B fits durations to the budget inside the program;
+            # the fitted per-item total is exactly min(total, budget) —
+            # computable on host with no extra sync
+            handle.fitted_totals = np.minimum(totals_np, handle.f_bucket)
+        return handle.f_bucket
+
     def launch_decode(self, handle: "DispatchHandle") -> "DispatchHandle":
         """Pick the frame bucket and launch stage B (async). Idempotent."""
         if handle.audio is not None:
             return handle
-        totals_np = np.asarray(handle.totals)  # usually already on host
-        if len(self.frame_buckets) == 1:
-            f_bucket = self.frame_buckets[0]
-        else:
-            f_bucket = pick(
-                self.frame_buckets, int(totals_np[: handle.n].max())
-            )
-        # stage B fits durations to the budget inside the program; the
-        # fitted per-item total is exactly min(total, budget) — computable
-        # on host with no extra sync
-        handle.fitted_totals = np.minimum(totals_np, f_bucket)
+        f_bucket = self._pick_f_bucket(handle)
         stage_b = self._get_stage_b(
             handle.b_bucket, handle.t_bucket, f_bucket, fmt=handle.fmt
         )
@@ -670,13 +678,21 @@ class Synthesizer:
         exactly as ``_fit_durations`` does inside the program (host
         re-computation, no extra device sync). [n, T] int32; position 0
         is BOS, phoneme char k sits at position k+1. Requires the handle
-        to have been dispatched with ``keep_durations=True``."""
+        to have been dispatched with ``keep_durations=True``.
+
+        Non-destructive: callable right after dispatch() — BEFORE any
+        decode — so streaming callers have the full word timeline in
+        hand when the first audio window renders (the durations are a
+        stage-A output; only the frame-bucket choice is needed here,
+        and that is a host-side pick)."""
         if handle.host_pred_dur is None:
-            raise ValueError(
-                "dispatch(..., keep_durations=True) required for "
-                "rendered_durations"
-            )
-        self.launch_decode(handle)  # ensures f_bucket is chosen
+            if not handle.keep_durations or handle.pred_dur is None:
+                raise ValueError(
+                    "dispatch(..., keep_durations=True) required for "
+                    "rendered_durations"
+                )
+            handle.host_pred_dur = np.asarray(handle.pred_dur)[: handle.n]
+        self._pick_f_bucket(handle)
         pd = handle.host_pred_dur.astype(np.int64)
         cum_prev = np.cumsum(pd, axis=-1) - pd
         return np.clip(handle.f_bucket - cum_prev, 0, pd).astype(np.int32)
@@ -734,17 +750,12 @@ class Synthesizer:
                 "release the stage-A intermediates); stream_decode needs "
                 "a fresh dispatch() handle"
             )
-        totals_np = np.asarray(handle.totals)
-        f_bucket = (
-            self.frame_buckets[0] if len(self.frame_buckets) == 1
-            else pick(self.frame_buckets, int(totals_np[: handle.n].max()))
-        )
+        f_bucket = self._pick_f_bucket(handle)
         if f_bucket % window_frames:
             raise ValueError(
                 f"window_frames {window_frames} must divide the frame "
                 f"bucket {f_bucket}"
             )
-        handle.fitted_totals = np.minimum(totals_np, f_bucket)
         prep = self._get_stage_prep(
             handle.b_bucket, handle.t_bucket, f_bucket
         )

@@ -38,6 +38,7 @@ TOOLS = [
                 "text": {"type": "string"},
                 "voice": {"type": "string", "default": "zf_001"},
                 "speed": {"type": "number", "default": 1.0},
+                "return_timestamps": {"type": "boolean", "default": False},
             },
             "required": ["text"],
         },
@@ -101,13 +102,15 @@ class ManagerBackend:
             self._started = False
 
     async def text_to_speech(self, text: str, voice: str = "zf_001",
-                             speed: float = 1.0) -> Dict[str, Any]:
+                             speed: float = 1.0,
+                             return_timestamps: bool = False,
+                             ) -> Dict[str, Any]:
         from ..api.endpoints import _process_tts_request
 
         await self.start()
         return await _process_tts_request(
             self._manager, text, voice, user_id="mcp", sequence_id=None,
-            speed=speed,
+            speed=speed, return_timestamps=return_timestamps,
         )
 
     async def list_voices(self) -> Dict[str, Any]:
@@ -138,7 +141,9 @@ class FakeBackend:
     sample_rate = 24000
 
     async def text_to_speech(self, text: str, voice: str = "zf_001",
-                             speed: float = 1.0) -> Dict[str, Any]:
+                             speed: float = 1.0,
+                             return_timestamps: bool = False,
+                             ) -> Dict[str, Any]:
         import base64
         import struct
 
@@ -152,12 +157,19 @@ class FakeBackend:
                           self.sample_rate * 2, 2, 16)
             + b"data" + struct.pack("<I", len(data))
         )
-        return {
+        out = {
             "status": "success",
             "task_id": "fake",
             "audio_base64": base64.b64encode(header + data).decode("ascii"),
             "sample_rate": self.sample_rate,
         }
+        if return_timestamps:
+            out["timestamps"] = [{
+                "text": text, "phonemes": "x",
+                "start_s": 0.0,
+                "end_s": round(n / self.sample_rate, 4),
+            }]
+        return out
 
     async def list_voices(self) -> Dict[str, Any]:
         return {"voices": [{"id": "zf_001", "name": "zf_001"}]}
@@ -222,10 +234,14 @@ class MCPServer:
     async def _call_tool(self, name: str,
                          args: Dict[str, Any]) -> Dict[str, Any]:
         if name == "text_to_speech":
+            kwargs: Dict[str, Any] = {}
+            if args.get("return_timestamps"):
+                kwargs["return_timestamps"] = True
             payload = await self.backend.text_to_speech(
                 text=args.get("text", ""),
                 voice=args.get("voice", args.get("voice_id", "zf_001")),
                 speed=float(args.get("speed", 1.0)),
+                **kwargs,
             )
         elif name == "list_voices":
             payload = await self.backend.list_voices()

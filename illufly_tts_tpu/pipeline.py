@@ -411,6 +411,9 @@ class TTSPipeline:
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
         handle = self.synthesizer.dispatch([ipa], [voice_id], [speed])
+        yield from self._stream_chunks(handle, window_frames, halo_frames)
+
+    def _stream_chunks(self, handle, window_frames: int, halo_frames: int):
         total = None
         emitted = 0
         for chunk in self.synthesizer.stream_decode(
@@ -424,6 +427,30 @@ class TTSPipeline:
             if take > 0:
                 yield chunk[0, :take]
             emitted += chunk.shape[1]
+
+    def stream_process_with_timestamps(
+        self,
+        text: str,
+        voice_id: str = "zf_001",
+        speed: float = 1.0,
+        window_frames: int = 64,
+        halo_frames: int = 16,
+    ):
+        """``(words, chunk_generator)`` for one utterance: intra-utterance
+        streaming (``stream_process``) plus word timestamps. The stamps
+        come from stage A's quantized durations, which are known at
+        dispatch — BEFORE any audio has rendered — so a caller (karaoke
+        captions, avatar lip-sync) has the full word timeline in hand
+        when the first chunk arrives."""
+        normalized = self.preprocess_text(text)
+        ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
+        ipa = ipa[:MAX_PHONEMES]
+        handle = self.synthesizer.dispatch(
+            [ipa], [voice_id], [speed], keep_durations=True
+        )
+        fitted = self.synthesizer.rendered_durations(handle)[0]
+        words = self._word_timestamps(normalized, ipa, fitted, handle.t_bucket)
+        return words, self._stream_chunks(handle, window_frames, halo_frames)
 
     def batch_process(
         self,

@@ -508,3 +508,39 @@ async def test_tts_return_timestamps():
             "/api/tts", json={"text": "你好"}, headers=auth_headers()
         )
         assert "timestamps" not in await resp.json()
+
+
+async def test_stream_endpoint_ndjson_timestamps():
+    """'return_timestamps': true switches /tts/stream to NDJSON: one JSON
+    line per segment with base64 PCM16 + word stamps offset to the
+    stream's global timeline (raw WAV has nowhere to carry stamps)."""
+    import base64 as b64
+    import json as jsonlib
+
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts/stream",
+            json={"text": "第一句。第二句。", "return_timestamps": True},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = [
+            jsonlib.loads(l)
+            for l in (await resp.read()).decode().splitlines() if l
+        ]
+        assert len(lines) == 2
+        for i, line in enumerate(lines):
+            assert line["segment"] == i
+            assert line["status"] == "completed"
+            assert line["format"] == "pcm16"
+            pcm = b64.b64decode(line["audio_base64"])
+            assert len(pcm) == 2400 * 2  # FakePipeline: 2400 samples
+            assert line["timestamps"], line
+        # FakePipeline stamps are 0.0-0.1 per segment; segment 1 rides
+        # 0.1 s (2400 samples) into the global timeline
+        assert lines[0]["offset_s"] == 0.0
+        assert lines[0]["timestamps"][0]["start_s"] == 0.0
+        assert lines[1]["offset_s"] == 0.1
+        assert lines[1]["timestamps"][0]["start_s"] == 0.1
+        assert lines[1]["timestamps"][0]["end_s"] == 0.2

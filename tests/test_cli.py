@@ -26,7 +26,8 @@ def test_cli_group_help():
 def test_synth_help():
     result = CliRunner().invoke(cli, ["synth", "--help"])
     assert result.exit_code == 0
-    for flag in ("--output", "--voice-id", "--speed", "--segment"):
+    for flag in ("--output", "--voice-id", "--speed", "--segment",
+                 "--stream", "--timestamps"):
         assert flag in result.output
 
 

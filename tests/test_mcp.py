@@ -56,6 +56,25 @@ async def test_dispatch_handshake_and_tools():
     assert reply["error"]["code"] == p.METHOD_NOT_FOUND
 
 
+async def test_tool_return_timestamps():
+    """text_to_speech accepts return_timestamps (same flag as POST /tts);
+    absent or false, no timestamps field appears."""
+    server = MCPServer(FakeBackend())
+    reply = await server.handle_message(p.request(1, "tools/call", {
+        "name": "text_to_speech",
+        "arguments": {"text": "你好", "return_timestamps": True},
+    }))
+    result = p.parse_content_text(reply["result"])
+    assert result["status"] == "success"
+    assert result["timestamps"] and (
+        result["timestamps"][0]["end_s"] > result["timestamps"][0]["start_s"]
+    )
+    reply = await server.handle_message(p.request(2, "tools/call", {
+        "name": "text_to_speech", "arguments": {"text": "你好"},
+    }))
+    assert "timestamps" not in p.parse_content_text(reply["result"])
+
+
 async def test_tool_error_flag_for_empty_text():
     server = MCPServer(FakeBackend())
     reply = await server.handle_message(p.request(1, "tools/call", {

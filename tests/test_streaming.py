@@ -184,3 +184,26 @@ def test_pipeline_stream_process(synth):
     )
     assert total.ndim == 1 and expected > 0
     assert np.isfinite(total).all()
+
+
+def test_stream_process_with_timestamps(synth):
+    """Words are in hand BEFORE the first chunk renders (durations come
+    from stage A at dispatch), match the non-streaming stamps, and the
+    streamed audio covers the same span the stamps describe."""
+    from illufly_tts_tpu.pipeline import TTSPipeline
+
+    pipe = TTSPipeline(synthesizer=synth)
+    text = "你好你好你好"
+    words, gen = pipe.stream_process_with_timestamps(
+        text, voice_id="v", window_frames=32, halo_frames=8,
+    )
+    # nothing consumed from the generator yet — stamps already complete
+    assert words and all(
+        w["end_s"] >= w["start_s"] >= 0.0 for w in words
+    )
+    _, ref_words = pipe.process_with_timestamps(text, "v")
+    assert words == ref_words
+    total = np.concatenate(list(gen))
+    # stamps end within the rendered audio
+    assert words[-1]["end_s"] <= total.size / pipe.sample_rate + 1e-6
+    assert np.isfinite(total).all()
