@@ -55,9 +55,12 @@ def cli():
               type=click.Choice(["mulaw24k"]),
               help="device->host wire codec for PCM outputs (mulaw24k: "
                    "half the transfer, G.711 8-bit quality at 24 kHz)")
+@click.option("--british", is_flag=True, envvar="TTS_BRITISH",
+              help="GB English pronunciation (reference "
+                   "EnglishG2P(british=True))")
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
           chunk_size, output_dir, debug_output, zh_dict, en_dict, dp,
-          audio_wire):
+          audio_wire, british):
     """Start the TTS HTTP service."""
     _apply_device(device)
     from aiohttp import web
@@ -102,6 +105,7 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         pipeline = CachedTTSPipeline(
             repo_id=repo_id, voices_dir=voices_dir, device=device,
             mesh=make_mesh(n_data=dp), wire_format=audio_wire,
+            british=british,
         )
     cors_origins = os.environ.get("TTS_CORS_ORIGINS", "")
     app = create_app(
@@ -114,6 +118,7 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
         output_dir=output_dir,
         pipeline=pipeline,
         wire_format=audio_wire,
+        british=british,
     )
     if cors_origins:
         from .api.endpoints import make_cors_middleware
@@ -144,8 +149,10 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
 @click.option("--timestamps", is_flag=True,
               help="also write word-level timestamps (from the duration "
                    "predictor's rendered alignment) to OUTPUT.json")
+@click.option("--british", is_flag=True, envvar="TTS_BRITISH",
+              help="GB English pronunciation")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          zh_dict, en_dict, segment, stream, timestamps):
+          zh_dict, en_dict, segment, stream, timestamps, british):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
     if zh_dict:
@@ -158,7 +165,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         load_en_dict(en_dict)
     from .pipeline import CachedTTSPipeline
 
-    pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir)
+    pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir,
+                             british=british)
     if not pipe.synthesizer.is_voice_loaded(voice_id):
         logger.warning(
             "voice %s not found; using a synthetic random voice", voice_id

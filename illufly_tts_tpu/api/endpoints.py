@@ -168,6 +168,7 @@ def create_app(
     pipeline=None,
     register_default_voice: bool = True,
     wire_format: Optional[str] = None,
+    british: bool = False,
 ) -> web.Application:
     """Build the aiohttp application serving the TTS API."""
     if not output_dir:
@@ -194,6 +195,7 @@ def create_app(
             output_dir=output_dir,
             pipeline=pipeline,
             wire_format=wire_format,
+            british=british,
         )
         if register_default_voice:
             synth = manager.pipeline.synthesizer

@@ -24,6 +24,7 @@ import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
+from .en_gb import gb_word, us_to_gb
 from .en_lexicon import LEXICON
 from .pos import parent_tag, tag_words
 
@@ -335,15 +336,32 @@ def _append_past(ipa: str) -> str:
 
 
 class EnglishG2P:
-    """English text -> IPA."""
+    """English text -> IPA.
 
-    def __init__(self, unk: str = "❓"):
+    ``british=True`` selects GB English output, matching the reference's
+    ``EnglishG2P(british=True)`` / ``Lexicon(british=True)`` surface
+    (reference english_g2p.py:146-170,579-597). The reference ships a
+    second lexicon pair (gb_gold/gb_silver); we derive GB from the US
+    lexicon with the accent transform + exceptions in en_gb.py."""
+
+    def __init__(self, unk: str = "❓", british: bool = False):
         self.unk = unk
+        self.british = british
+
+    def _accent(self, ipa: str, word: str = "") -> str:
+        """US IPA -> output accent (identity for US mode)."""
+        if not self.british:
+            return ipa
+        return us_to_gb(ipa, word.lower())
 
     def lookup(self, word: str) -> Optional[str]:
         lower = word.lower()
+        if self.british:
+            gb = gb_word(lower)
+            if gb is not None:
+                return gb
         if lower in LEXICON:
-            return LEXICON[lower]
+            return self._accent(LEXICON[lower], lower)
         return None
 
     def spell_letters(self, letters: str) -> str:
@@ -351,8 +369,13 @@ class EnglishG2P:
         english_g2p.py:204-250): every letter demotes to secondary stress
         via the stress algebra, then the last re-promotes to primary."""
         parts = [
-            LETTER_NAMES.get(c, "") for c in letters.lower()
+            self._accent(LETTER_NAMES.get(c, ""), c) for c in letters.lower()
         ]
+        if self.british:
+            parts = [
+                "zˈɛd" if c == "z" else p
+                for c, p in zip(letters.lower(), parts)
+            ]
         parts = [p for p in parts if p]
         if not parts:
             return ""
@@ -483,11 +506,16 @@ class EnglishG2P:
         if word.isupper() and len(word) <= 5 and lower not in LEXICON:
             return self.spell_letters(word)
         if len(lower) == 1:
-            return LETTER_NAMES.get(lower, self.unk)
+            name = LETTER_NAMES.get(lower)
+            if name is None:
+                return self.unk
+            if lower == "z" and self.british:
+                return "zˈɛd"
+            return self._accent(name, lower)
         # morphology / affixes / compounds against the lexicon
         derived = self._derive(lower)
         if derived is not None:
-            return derived
+            return self._accent(derived, lower)
         # letter-to-sound fallback, stress-marked like lexicon entries:
         # the trained joint-trigram model (lts_model.py, 87-88% phoneme
         # accuracy held-out) first, hand rules as the backstop
@@ -498,8 +526,8 @@ class EnglishG2P:
             if model is not None:
                 pred = model.predict(lower)
                 if pred:
-                    return _stress_lts(lower, pred)
-        return _stress_lts(lower, _lts(lower))
+                    return self._accent(_stress_lts(lower, pred), lower)
+        return self._accent(_stress_lts(lower, _lts(lower)), lower)
 
     # --- tokenization with markdown-link features ---------------------------
 
@@ -601,7 +629,7 @@ class EnglishG2P:
         elif lower == "read":
             ps = "ɹɛd" if (tag in ("VBD", "VBN") or past_read) else "ɹid"
         if ps is not None:
-            return apply_stress(ps, stress)
+            return apply_stress(self._accent(ps, lower), stress)
 
         # tag-keyed heteronyms, with -s/-ed/-ing morphology on the stem
         het = HETERONYMS.get(lower)
@@ -633,7 +661,7 @@ class EnglishG2P:
                     if stem_ps:
                         ps = stem_ps + "ɪŋ"
         if ps is not None:
-            return apply_stress(ps, stress)
+            return apply_stress(self._accent(ps, lower), stress)
         return apply_stress(self.word_to_ipa(word), stress)
 
     def text_to_ipa(self, text: str) -> str:

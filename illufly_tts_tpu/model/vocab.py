@@ -17,6 +17,10 @@ from typing import Dict, List
 from ..frontend.g2p.ipa import ZH_IPA_CHARS
 
 _EN_IPA = list("ɑæʌɔaʊɪieɛɝəɚoʃʒθðŋɹbdfɡhjklmnpstuvwzˈˌː")
+# GB English additions (en_gb.py): LOT vowel + bare NURSE vowel (US
+# writes r-colored ɝ); the rest of the GB inventory (iː uː əʊ ɪə ɛə ʊə a)
+# decomposes into chars above
+_EN_GB = ["ɒ", "ɜ"]
 # digraphs enter the vocab per-character via the _build loop; listing
 # them keeps any future digraph's constituents covered explicitly
 _EN_EXTRA = ["dʒ", "tʃ", "eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"]
@@ -29,7 +33,7 @@ PAD_ID = 0
 def _build() -> Dict[str, int]:
     symbols: List[str] = ["$"]  # id 0: PAD/BOS/EOS
     seen = {"$"}
-    for group in (_PUNCT, ZH_IPA_CHARS, _EN_IPA, _EN_EXTRA, _MISC):
+    for group in (_PUNCT, ZH_IPA_CHARS, _EN_IPA, _EN_GB, _EN_EXTRA, _MISC):
         for s in group:
             for ch in s:  # vocab is per-character, like the reference's
                 if ch not in seen:

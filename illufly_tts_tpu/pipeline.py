@@ -56,6 +56,7 @@ class TTSPipeline:
         fail_silent: bool = False,
         mesh=None,
         wire_format: Optional[str] = None,
+        british: bool = False,
     ):
         # wire_format='mulaw24k': deployment knob trading audio word depth
         # for device->host bandwidth — PCM-format requests ('f32'/'pcm16')
@@ -78,7 +79,10 @@ class TTSPipeline:
         # 147-150). Off by default so errors surface in development.
         self.fail_silent = fail_silent
 
-        self.en_g2p = EnglishG2P()
+        # GB English output (reference EnglishG2P(british=True) surface,
+        # english_g2p.py:579-597)
+        self.british = british
+        self.en_g2p = EnglishG2P(british=british)
         self.en_callback = self.en_g2p.text_to_ipa
         self.g2p = ChineseG2P(en_callable=self.en_callback)
         self.zh_normalizer = ZhTextNormalizer()
@@ -105,6 +109,7 @@ class TTSPipeline:
         self.default_language = "zh"
         self.sample_rate = 24000
         self.fail_silent = False
+        self.british = False
         self.en_g2p = EnglishG2P()
         self.en_callback = self.en_g2p.text_to_ipa
         self.g2p = ChineseG2P(en_callable=self.en_callback)
