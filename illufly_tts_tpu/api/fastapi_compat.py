@@ -41,6 +41,16 @@ def _user_of(request: Request):
         raise HTTPException(status_code=exc.status, detail=exc.detail)
 
 
+async def _call_user_hook(require_user):
+    """Run a host-supplied auth callable (reference README.md:75-80: a
+    zero-arg async ``get_current_user``). Sync callables and plain dicts
+    returned from them are accepted too."""
+    result = require_user()
+    if asyncio.iscoroutine(result):
+        result = await result
+    return result or {}
+
+
 def mount_tts_service(
     app: FastAPI,
     repo_id: str = "",
@@ -51,14 +61,52 @@ def mount_tts_service(
     chunk_size: int = 200,
     output_dir: Optional[str] = None,
     prefix: str = "/api",
+    require_user=None,
+    host: Optional[str] = None,
+    port: Optional[int] = None,
+    process_command: Optional[str] = None,
+    process_args: Optional[list] = None,
 ) -> None:
+    """Mount the TTS routes on a host FastAPI app.
+
+    Two modes, matching the reference README's integration example
+    (README.md:67-89):
+
+    - **local engine** (default): constructs a ``TTSServiceManager``
+      owning the TPU engine in-process.
+    - **remote proxy**: pass ``host``/``port`` (SSE) or
+      ``process_command``/``process_args`` (stdio subprocess) and the
+      routes forward to that MCP TTS server instead — the split
+      deployment where the GPU/TPU box runs ``python -m illufly_tts_tpu
+      server`` and the web app mounts only this shim.
+
+    ``require_user`` overrides the built-in JWT/dev-mode auth with the
+    host app's own logic: any callable (sync or async, zero-arg)
+    returning a user dict with ``user_id``.
+    """
     router = APIRouter()
+    remote = bool(host or port or process_command)
     if not output_dir:
         output_dir = os.path.join(tempfile.gettempdir(), "illufly_tts_output")
         os.makedirs(output_dir, exist_ok=True)
 
+    async def resolve_user(request: Request):
+        if require_user is not None:
+            return await _call_user_hook(require_user)
+        return _user_of(request)
+
     @app.on_event("startup")
     async def startup():
+        if remote:
+            from ..client.mcp_client import TTSMcpClient
+
+            client = TTSMcpClient(
+                process_command=process_command, process_args=process_args,
+                host=host, port=port,
+            )
+            await client.connect()
+            app.state.mcp_client = client
+            return
         app.state.service_manager = TTSServiceManager(
             repo_id=repo_id, voices_dir=voices_dir, device=device,
             batch_size=batch_size, max_wait_time=max_wait_time,
@@ -69,9 +117,24 @@ def mount_tts_service(
             synth.register_random_voice("zf_001", seed=42)
         await app.state.service_manager.start()
 
+    async def _proxy_tts(body: TextToSpeechRequest):
+        result = await app.state.mcp_client.text_to_speech(
+            text=body.text, voice=body.voice_id, speed=body.speed,
+        )
+        if not isinstance(result, dict):
+            raise HTTPException(status_code=502,
+                                detail="malformed MCP response")
+        if result.get("status") not in (None, "success"):
+            err = result.get("error") or "processing failed"
+            code = 400 if "voice" in err.lower() else 500
+            raise HTTPException(status_code=code, detail=err)
+        return result
+
     @router.post("/tts")
     async def text_to_speech(body: TextToSpeechRequest, request: Request):
-        user = _user_of(request)
+        user = await resolve_user(request)
+        if remote:
+            return await _proxy_tts(body)
         manager = app.state.service_manager
         user_id = user.get("user_id")
         if body.cancel_pending and user_id:
@@ -90,7 +153,9 @@ def mount_tts_service(
 
     @router.get("/tts/voices")
     async def get_voices(request: Request):
-        _user_of(request)
+        await resolve_user(request)
+        if remote:
+            return {"voices": await app.state.mcp_client.list_voices()}
         names = app.state.service_manager.pipeline.list_voices() or ["zf_001"]
         return {"voices": [
             {"id": n, "name": n, "description": f"voice {n}"}
@@ -99,7 +164,10 @@ def mount_tts_service(
 
     @router.get("/tts/info")
     async def get_info(request: Request):
-        _user_of(request)
+        await resolve_user(request)
+        if remote:
+            info = await app.state.mcp_client.get_info()
+            return info if isinstance(info, dict) else {}
         return {
             "service": "illufly-tts-tpu-service",
             "version": "0.1.0",
@@ -137,3 +205,5 @@ def mount_tts_service(
     async def shutdown():
         if hasattr(app.state, "service_manager"):
             await app.state.service_manager.shutdown()
+        if hasattr(app.state, "mcp_client"):
+            await app.state.mcp_client.close()
