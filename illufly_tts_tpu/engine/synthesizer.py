@@ -449,6 +449,13 @@ class Synthesizer:
         )
         return dt
 
+    # measured hit costs on the tunneled chip: a stage-A persistent-cache
+    # hit lands in ~2 s; a stage-B hit takes ~12-16 s (the executable is
+    # large — deserialization + device upload dominate, not compilation,
+    # which runs 100 s+ cold). The labels use thresholds between those
+    # modes so warmup logs read honestly.
+    _STAGE_B_HIT_S = 30.0
+
     def compile_stage_b(self, batch: int, tokens: int, frames: int,
                         fmt="pcm16") -> float:
         """See compile_stage_a: warm through the serving jit path.
@@ -474,7 +481,7 @@ class Synthesizer:
         logger.info(
             "stage B (b=%d, t=%d, f=%d) ready in %.1fs%s",
             batch, tokens, frames, dt,
-            " [cache hit]" if dt < 8.0 else " [cold compile]",
+            " [cache hit]" if dt < self._STAGE_B_HIT_S else " [cold compile]",
         )
         return dt
 
