@@ -26,29 +26,16 @@ from ..runtime.scheduler import TTSServiceManager
 from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
+from .http_common import json_object, parse_speed
 
 logger = logging.getLogger(__name__)
 
 SERVICE_VERSION = "0.1.0"
 
 
-async def _json_object(request: web.Request) -> Dict[str, Any]:
-    """Parse the request body as a JSON OBJECT or raise 400 (a bare
-    string/array is valid JSON and would otherwise 500 on .get)."""
-    try:
-        body = await request.json()
-    except Exception:
-        raise web.HTTPBadRequest(reason="invalid JSON body")
-    if not isinstance(body, dict):
-        raise web.HTTPBadRequest(reason="JSON body must be an object")
-    return body
-
-
-def _parse_speed(body: Dict[str, Any]) -> float:
-    try:
-        return float(body.get("speed", 1.0))
-    except (TypeError, ValueError):
-        raise web.HTTPBadRequest(reason="'speed' must be a number")
+# shared with the engine-free gateway (see http_common.py docstring)
+_json_object = json_object
+_parse_speed = parse_speed
 
 
 def make_cors_middleware(cors_origins: str):
@@ -62,12 +49,17 @@ def make_cors_middleware(cors_origins: str):
 
     def cors_headers(request: web.Request) -> Dict[str, str]:
         origin = request.headers.get("Origin", "")
-        if origin in allowed or "*" in allowed:
-            h = {"Access-Control-Allow-Origin": origin or "*",
-                 "Vary": "Origin"}
-            if origin:
-                h["Access-Control-Allow-Credentials"] = "true"
-            return h
+        if origin in allowed:
+            # explicitly-listed origin: echo it and allow the JWT cookie
+            return {"Access-Control-Allow-Origin": origin,
+                    "Vary": "Origin",
+                    "Access-Control-Allow-Credentials": "true"}
+        if "*" in allowed:
+            # wildcard: literal '*' WITHOUT credentials — reflecting the
+            # origin + Allow-Credentials would re-enable the credentialed
+            # wildcard browsers forbid (any site could ride the
+            # access_token cookie of a logged-in user cross-site)
+            return {"Access-Control-Allow-Origin": "*"}
         return {}
 
     @web.middleware
@@ -135,7 +127,11 @@ async def _process_tts_request(
     if not task.audio_chunks:
         return {"status": "error", "task_id": task_id,
                 "error": "no audio generated"}
-    rate = manager.pipeline.output_rate(task.output_format)
+    # duck-typed pipelines (create_app(pipeline=...) extension point) may
+    # not implement output_rate — same fallback the scheduler uses
+    rate_of = getattr(manager.pipeline, "output_rate", None)
+    rate = (rate_of(task.output_format) if rate_of
+            else manager.pipeline.sample_rate)
     if task.output_format == "mulaw8k":
         from ..audio.wav import encode_wav_mulaw
 
@@ -276,11 +272,16 @@ def create_app(
         if cancel_pending and user_id:
             canceled = await manager.cancel_user_pending_tasks(user_id)
             logger.info("canceled %d pending tasks for %s", canceled, user_id)
-        result = await _process_tts_request(
-            manager, text, voice_id, user_id, sequence_id, speed,
-            output_format,
-            return_timestamps=bool(body.get("return_timestamps", False)),
-        )
+        try:
+            result = await _process_tts_request(
+                manager, text, voice_id, user_id, sequence_id, speed,
+                output_format,
+                return_timestamps=bool(body.get("return_timestamps", False)),
+            )
+        except ValueError as exc:
+            # submit-time capability rejections (e.g. return_timestamps on
+            # a pipeline without the split-phase surface) are caller-visible
+            raise web.HTTPBadRequest(reason=str(exc))
         if result["status"] == "error":
             # voice problems are the caller's fault (4xx); everything
             # else — device/compile/batch errors — is a server fault and

@@ -13,10 +13,13 @@ from typing import Optional
 from fastapi import APIRouter, FastAPI, HTTPException, Request
 from pydantic import BaseModel
 
-from ..runtime.scheduler import TTSServiceManager
 from .auth import AuthError, authenticate
 from .dev_mode import generate_dev_token, is_dev_mode
-from .endpoints import _process_tts_request
+
+# NB: the engine stack (runtime.scheduler -> pipeline -> jax) is imported
+# lazily inside the LOCAL-mode startup/handlers only — in remote proxy
+# mode this shim must import on a web host that has just fastapi+aiohttp
+# (the split deployment this mode exists for).
 
 logger = logging.getLogger(__name__)
 
@@ -107,6 +110,8 @@ def mount_tts_service(
             await client.connect()
             app.state.mcp_client = client
             return
+        from ..runtime.scheduler import TTSServiceManager
+
         app.state.service_manager = TTSServiceManager(
             repo_id=repo_id, voices_dir=voices_dir, device=device,
             batch_size=batch_size, max_wait_time=max_wait_time,
@@ -135,6 +140,8 @@ def mount_tts_service(
         user = await resolve_user(request)
         if remote:
             return await _proxy_tts(body)
+        from .endpoints import _process_tts_request
+
         manager = app.state.service_manager
         user_id = user.get("user_id")
         if body.cancel_pending and user_id:

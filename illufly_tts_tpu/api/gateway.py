@@ -18,6 +18,8 @@ from ..client.mcp_client import TTSMcpClient
 from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
+from .http_common import json_object as _json_object
+from .http_common import parse_speed as _parse_speed
 
 logger = logging.getLogger(__name__)
 
@@ -67,8 +69,6 @@ def create_gateway_app(
 
     async def text_to_speech(request: web.Request) -> web.Response:
         _require_user(request)
-        from .endpoints import _json_object, _parse_speed
-
         body = await _json_object(request)
         text = body.get("text")
         if not text:

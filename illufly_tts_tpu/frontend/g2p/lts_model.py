@@ -29,6 +29,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 from collections import OrderedDict, defaultdict
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -227,6 +228,10 @@ class LTSModel:
             OrderedDict()
         )
         self._memo_cap = 50_000
+        # the scheduler's split-phase dispatch runs the frontend from
+        # worker threads concurrently (pipeline_depth >= 2): get/
+        # move_to_end can otherwise race popitem eviction -> KeyError
+        self._memo_lock = threading.Lock()
 
     @classmethod
     def load(cls, path: str) -> Optional["LTSModel"]:
@@ -252,14 +257,16 @@ class LTSModel:
         """Beam Viterbi over (position, prev-pair, pair) states.
         Memoized (LRU, 50k entries)."""
         key = (word, beam)
-        hit = self._memo.get(key, _MISS)
-        if hit is not _MISS:
-            self._memo.move_to_end(key)
-            return hit
+        with self._memo_lock:
+            hit = self._memo.get(key, _MISS)
+            if hit is not _MISS:
+                self._memo.move_to_end(key)
+                return hit
         out = self._predict(word, beam)
-        self._memo[key] = out
-        if len(self._memo) > self._memo_cap:
-            self._memo.popitem(last=False)
+        with self._memo_lock:
+            self._memo[key] = out
+            if len(self._memo) > self._memo_cap:
+                self._memo.popitem(last=False)
         return out
 
     def _predict(self, word: str, beam: int) -> Optional[str]:

@@ -183,6 +183,16 @@ class TTSServiceManager:
     ) -> str:
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
+        if return_timestamps and not (
+            getattr(self.pipeline, "supports_split_phase", False)
+            or getattr(self.pipeline,
+                       "batch_process_texts_with_timestamps", None)
+        ):
+            # reject up front rather than succeed with timestamps=null —
+            # a captioning client can't tell 'no words' from 'unsupported'
+            raise ValueError(
+                "return_timestamps is not supported by this pipeline"
+            )
         task_id = str(uuid.uuid4())
         # fail-fast voice validation off the event loop
         # (reference service.py:89-101)

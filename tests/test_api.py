@@ -544,3 +544,92 @@ async def test_stream_endpoint_ndjson_timestamps():
         assert lines[1]["offset_s"] == 0.1
         assert lines[1]["timestamps"][0]["start_s"] == 0.1
         assert lines[1]["timestamps"][0]["end_s"] == 0.2
+
+
+async def test_cors_wildcard_sends_literal_star_without_credentials():
+    """TTS_CORS_ORIGINS='*' must answer with a literal '*' and NO
+    Allow-Credentials — reflecting the origin plus credentials would
+    re-enable the credentialed-wildcard combination browsers forbid
+    (any site could ride a logged-in user's access_token cookie)."""
+    import os
+
+    from illufly_tts_tpu.api.endpoints import make_cors_middleware
+
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    app = create_app(
+        output_dir="/tmp/tts_api_test", pipeline=FakePipeline(),
+        max_wait_time=0.02,
+    )
+    app.middlewares.append(make_cors_middleware("*"))
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await client.post(
+            "/api/tts", json={"text": "hi"},
+            headers={**auth_headers(), "Origin": "http://anywhere.example"},
+        )
+        assert resp.status == 200
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        assert "Access-Control-Allow-Credentials" not in resp.headers
+    finally:
+        await client.close()
+
+
+class MinimalDuckPipeline:
+    """The smallest pipeline create_app(pipeline=...) accepts: no
+    output_rate, no timestamps surface, no split-phase."""
+
+    sample_rate = 24000
+
+    def __init__(self):
+        self.synthesizer = self
+
+    def is_voice_loaded(self, voice_id):
+        return True
+
+    def register_random_voice(self, *a, **k):
+        pass
+
+    def load_voice(self, voice_id):
+        return np.zeros((1, 256), np.float32)
+
+    def list_voices(self):
+        return ["zf_001"]
+
+    def batch_process_texts(self, texts, voice_ids, speeds=None):
+        return [np.zeros(2400, np.float32) for _ in texts]
+
+
+async def test_duck_pipeline_without_output_rate():
+    """An injected pipeline lacking output_rate must still serve /tts
+    (rate falls back to sample_rate, as in the scheduler), and a
+    return_timestamps request must be a 400, not a silent
+    timestamps=null success."""
+    import os
+
+    os.makedirs("/tmp/tts_api_test", exist_ok=True)
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    app = create_app(
+        output_dir="/tmp/tts_api_test", pipeline=MinimalDuckPipeline(),
+        max_wait_time=0.02,
+    )
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["sample_rate"] == 24000
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "return_timestamps": True},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400
+        assert "timestamps" in (await resp.text()).lower()
+    finally:
+        await client.close()

@@ -146,3 +146,39 @@ def test_lts_accuracy_held_out():
     rule_acc = accuracy(lambda w: _stress_lts(w, _lts(w)))
     assert model_acc >= 0.84, model_acc
     assert model_acc > rule_acc, (model_acc, rule_acc)
+
+
+def test_predict_memo_thread_safety():
+    """The scheduler's split-phase dispatch runs the frontend from
+    concurrent worker threads; the predict() LRU memo must not race its
+    own eviction (get/move_to_end vs popitem -> KeyError)."""
+    import random
+    import threading
+
+    model = get_model()
+    assert model is not None
+    model._memo.clear()
+    model._memo_cap = 64  # force constant eviction pressure
+
+    words = [
+        "".join(random.Random(i).choices("abcdefghijklmnop", k=6))
+        for i in range(200)
+    ]
+    errors = []
+
+    def hammer(seed):
+        rng = random.Random(seed)
+        try:
+            for _ in range(2000):
+                model.predict(rng.choice(words))
+        except Exception as exc:  # pragma: no cover - the regression
+            errors.append(exc)
+
+    threads = [threading.Thread(target=hammer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    model._memo.clear()
+    model._memo_cap = 50_000
