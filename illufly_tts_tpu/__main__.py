@@ -291,6 +291,77 @@ def api(host, port, server_host, server_port, process_command, process_args):
     web.run_app(app, host=host, port=port)
 
 
+def _tiny_cfg():
+    """Tiny model config shared by the smoke/CI paths of train/convert."""
+    from .model.config import AlbertConfig, IstftNetConfig, KokoroConfig
+
+    return KokoroConfig(
+        n_token=64, hidden_dim=64, style_dim=32, max_dur=10, n_layer=2,
+        albert=AlbertConfig(
+            vocab_size=64, embedding_size=32, hidden_size=128,
+            num_heads=4, intermediate_size=256, num_layers=2,
+            max_position=128,
+        ),
+        istftnet=IstftNetConfig(
+            upsample_rates=(10, 6), upsample_kernel_sizes=(20, 12),
+            upsample_initial_channel=128,
+            resblock_kernel_sizes=(3,),
+            resblock_dilation_sizes=((1, 3),),
+        ),
+    )
+
+
+@cli.command()
+@click.argument("checkpoint", type=click.Path(exists=True, dir_okay=False))
+@click.option("--output", "-o", default=None,
+              help="output weights path (.msgpack; default: CHECKPOINT "
+                   "with the extension swapped)")
+@click.option("--voices-dir", default=None,
+              help="also convert every .pt voice pack in this directory "
+                   "to .npy (serving then never needs torch)")
+@click.option("--voices-output", default=None,
+              help="output directory for converted voice packs "
+                   "(default: --voices-dir in place)")
+@click.option("--tiny", is_flag=True, hidden=True)
+def convert(checkpoint, output, voices_dir, voices_output, tiny):
+    """Convert a torch Kokoro checkpoint to flax msgpack weights.
+
+    One-time migration step for reference users (their HF checkpoint —
+    hexgrad/Kokoro-82M-v1.1-zh `*.pth` + config.json vocab table — works
+    directly): `serve`/`synth` also accept the .pth itself via
+    --repo-id, but the converted .msgpack loads without torch and skips
+    the name/layout mapping on every start. Runs on CPU."""
+    _apply_device("cpu")
+    from .engine.synthesizer import Synthesizer
+    from .model.config import KokoroConfig
+
+    synth_engine = Synthesizer(config=_tiny_cfg() if tiny
+                               else KokoroConfig())
+    if output is None:
+        output = os.path.splitext(checkpoint)[0] + ".msgpack"
+    synth_engine.load_params(checkpoint)  # raises ConversionError w/ lists
+    synth_engine.save_params(output)
+    click.echo(f"wrote {output}")
+
+    if voices_dir:
+        import numpy as np
+        import torch
+
+        out_dir = voices_output or voices_dir
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        for name in sorted(os.listdir(voices_dir)):
+            if not name.endswith(".pt"):
+                continue
+            pack = torch.load(
+                os.path.join(voices_dir, name), map_location="cpu",
+                weights_only=True,
+            ).numpy().astype(np.float32)
+            np.save(os.path.join(out_dir, name[:-3] + ".npy"), pack)
+            n += 1
+        click.echo(f"converted {n} voice packs -> {out_dir}")
+
+
 @cli.command()
 @click.option("--steps", default=100, type=int, help="optimizer steps")
 @click.option("--batch-size", default=8, type=int)
@@ -329,23 +400,7 @@ def train(steps, batch_size, tokens, frames, lr, checkpoint_dir, resume,
     from .model.kokoro import KokoroModel
     from .training.loop import train as run_train
 
-    if tiny:
-        cfg = KokoroConfig(
-            n_token=64, hidden_dim=64, style_dim=32, max_dur=10, n_layer=2,
-            albert=AlbertConfig(
-                vocab_size=64, embedding_size=32, hidden_size=128,
-                num_heads=4, intermediate_size=256, num_layers=2,
-                max_position=128,
-            ),
-            istftnet=IstftNetConfig(
-                upsample_rates=(10, 6), upsample_kernel_sizes=(20, 12),
-                upsample_initial_channel=128,
-                resblock_kernel_sizes=(3,),
-                resblock_dilation_sizes=((1, 3),),
-            ),
-        )
-    else:
-        cfg = KokoroConfig()
+    cfg = _tiny_cfg() if tiny else KokoroConfig()
     model = KokoroModel(cfg)
     import jax as _jax
 
