@@ -221,7 +221,14 @@ def dataset_batches(
             ids[b, :ln] = utt_ids
             mask[b, :ln] = 1.0
             utt_frames = min(item["frames"], frames)
-            target_dur[b, :ln] = utt_frames / max(ln, 1)
+            # integer frame distribution summing EXACTLY to utt_frames:
+            # the loss teacher-forces round(target_dur), and a uniform
+            # utt_frames/ln float can round to 0 everywhere (short clip,
+            # long transcript: 8 frames / 16 tokens -> round(0.5) = 0),
+            # silently dropping every audio frame from the objective
+            base, rem = divmod(utt_frames, max(ln, 1))
+            target_dur[b, :ln] = base
+            target_dur[b, :rem] += 1.0
             samples = utt_frames * samples_per_frame
             target_audio[b, :samples] = item["audio"][:samples]
             styles.append(item["style"])

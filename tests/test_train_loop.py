@@ -306,3 +306,32 @@ def test_train_mesh_rejects_indivisible_caller_batches(setup):
             frames=frames, learning_rate=1e-4, batches=bad_batches(),
             mesh=mesh, checkpoint_every=0,
         )
+
+
+def test_dataset_batches_integer_duration_distribution(tmp_path):
+    """Teacher durations must be integers summing EXACTLY to the
+    utterance's frame count — a uniform utt_frames/ln float rounds to 0
+    everywhere when frames < tokens (short clip, long transcript),
+    silently dropping every audio frame from the training objective."""
+    import numpy as np
+
+    from illufly_tts_tpu.audio.wav import save_wav
+    from illufly_tts_tpu.training.data import SpeechDataset, dataset_batches
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    # 4800 samples @ 600 samples/frame = 8 frames, transcript ~16 tokens
+    wave = (0.1 * np.sin(np.linspace(0, 60, 4800))).astype(np.float32)
+    save_wav(str(d / "u0.wav"), wave, 24000)
+    (d / "u0.txt").write_text("你好世界测试", encoding="utf-8")
+
+    ds = SpeechDataset(str(d), sample_rate=24000, style_dim=8,
+                       samples_per_frame=600)
+    batch = next(dataset_batches(ds, 1, 32, 8, 600, shuffle=False))
+    dur = np.asarray(batch.target_dur[0])
+    mask = np.asarray(batch.mask[0])
+    # integers, in-mask only, summing exactly to the 8-frame budget
+    np.testing.assert_array_equal(dur, np.round(dur))
+    assert dur[mask == 0].sum() == 0
+    assert int(np.round(dur * mask).sum()) == 8
+    assert int(np.round(dur).sum()) > 0  # the regression: all-zero
