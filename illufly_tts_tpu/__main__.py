@@ -151,8 +151,10 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
                    "predictor's rendered alignment) to OUTPUT.json")
 @click.option("--british", is_flag=True, envvar="TTS_BRITISH",
               help="GB English pronunciation")
+@click.option("--pitch", default=1.0, type=float,
+              help="F0 scale (1.0 = neutral; 0.25-4.0)")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          zh_dict, en_dict, segment, stream, timestamps, british):
+          zh_dict, en_dict, segment, stream, timestamps, british, pitch):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
     if zh_dict:
@@ -185,7 +187,7 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         if timestamps:
             # stamps are known at dispatch — before any audio renders
             words, gen = pipe.stream_process_with_timestamps(
-                text, voice_id=voice_id, speed=speed
+                text, voice_id=voice_id, speed=speed, pitch=pitch
             )
             import json as _json
 
@@ -198,7 +200,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
                 f"({_time.perf_counter() - t0:.3f}s, before first audio)"
             )
         else:
-            gen = pipe.stream_process(text, voice_id=voice_id, speed=speed)
+            gen = pipe.stream_process(text, voice_id=voice_id, speed=speed,
+                                      pitch=pitch)
         for chunk in gen:
             if ttfa is None:
                 ttfa = _time.perf_counter() - t0
@@ -212,7 +215,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         import json as _json
 
         audio, words = pipe.process_with_timestamps(
-            text, voice_id=voice_id, speed=speed, output_path=output
+            text, voice_id=voice_id, speed=speed, output_path=output,
+            pitch=pitch,
         )
         ts_path = os.path.splitext(output)[0] + ".json"
         with open(ts_path, "w", encoding="utf-8") as f:
@@ -220,7 +224,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         click.echo(f"wrote {ts_path}: {len(words)} word timestamps")
     else:
         audio = pipe.process(text, voice_id=voice_id, speed=speed,
-                             output_path=output, segment_text=segment)
+                             output_path=output, segment_text=segment,
+                             pitch=pitch)
     click.echo(
         f"wrote {output}: {audio.size / pipe.sample_rate:.2f}s at "
         f"{pipe.sample_rate} Hz"
@@ -362,6 +367,81 @@ def convert(checkpoint, output, voices_dir, voices_output, tiny):
         click.echo(f"converted {n} voice packs -> {out_dir}")
 
 
+@cli.command("train-voice")
+@click.option("--data", "data_dir", required=True,
+              help="dataset dir of the target speaker "
+                   "(metadata.csv+wavs/ or paired wav+txt)")
+@click.option("--output", "-o", required=True,
+              help="output voice pack (.npy, standard [510,1,256] "
+                   "length-indexed layout)")
+@click.option("--repo-id", default="",
+              help="model weights (.msgpack or torch .pt/.pth); "
+                   "random init if omitted")
+@click.option("--steps", default=200, type=int, help="Adam steps")
+@click.option("--lr", default=5e-2, type=float)
+@click.option("--batch-size", default=4, type=int)
+@click.option("--tokens", default=128, type=int)
+@click.option("--frames", default=256, type=int)
+@click.option("--init-voice", default=None,
+              help="warm-start from an existing voice id (resolved via "
+                   "--voices-dir) or a pack file path")
+@click.option("--voices-dir", default=None)
+@click.option("--device", default=None, help="cpu forces the CPU platform")
+@click.option("--seed", default=0, type=int)
+@click.option("--tiny", is_flag=True, hidden=True)
+def train_voice(data_dir, output, repo_id, steps, lr, batch_size, tokens,
+                frames, init_voice, voices_dir, device, seed, tiny):
+    """Learn a NEW VOICE from a few recordings of a speaker.
+
+    The model weights stay frozen; only the 256-d AdaIN style vector
+    (128 decoder + 128 prosody, reference kmodel.py:82-84) optimizes
+    against mel-L1 + multi-res STFT on the recordings. The result is a
+    standard voice pack usable everywhere a shipped voice is (serve,
+    synth, MCP, blend specs). Capability beyond the reference — its
+    voices are fixed hub downloads (reference pipeline.py:78-109)."""
+    _apply_device(device)
+    import numpy as np
+
+    from .engine.synthesizer import Synthesizer
+    from .model.config import KokoroConfig
+    from .training.data import SpeechDataset, dataset_batches, prefetch
+    from .training.voice_adapt import adapt_voice, style_to_pack
+
+    engine = Synthesizer(config=_tiny_cfg() if tiny else KokoroConfig(),
+                         voices_dir=voices_dir)
+    if repo_id and os.path.isfile(repo_id):
+        engine.load_params(repo_id)
+    cfg = engine.config
+
+    init = None
+    if init_voice:
+        if os.path.isfile(init_voice):
+            pack = np.load(init_voice)
+        else:
+            pack = engine.load_voice(init_voice)
+        # packs are length-indexed [L,1,256]; the mean over lengths is
+        # the natural single-vector summary to warm-start from
+        init = np.asarray(pack, np.float32).reshape(
+            pack.shape[0], -1
+        ).mean(axis=0)
+
+    dataset = SpeechDataset(
+        data_dir, sample_rate=cfg.sample_rate,
+        style_dim=2 * cfg.style_dim,
+        samples_per_frame=cfg.samples_per_frame,
+    )
+    batches = prefetch(dataset_batches(
+        dataset, batch_size, tokens, frames, cfg.samples_per_frame,
+        seed=seed, vocab_size=cfg.albert.vocab_size,
+    ))
+    style, metrics = adapt_voice(
+        engine.model, engine.params, batches, steps=steps,
+        learning_rate=lr, frames=frames, spectral=True,
+    )
+    np.save(output, style_to_pack(style))
+    click.echo(f"wrote {output} ({metrics})")
+
+
 @cli.command()
 @click.option("--steps", default=100, type=int, help="optimizer steps")
 @click.option("--batch-size", default=8, type=int)
@@ -481,8 +561,10 @@ def _make_client(process_command, process_args, server_host, server_port):
 @click.option("--server-port", default=31572, type=int)
 @click.option("--timestamps", is_flag=True,
               help="also write word-level timestamps to OUTPUT.json")
+@click.option("--pitch", default=1.0, type=float,
+              help="F0 scale (1.0 = neutral)")
 def speak(text, output, voice_id, speed, process_command, process_args,
-          server_host, server_port, timestamps):
+          server_host, server_port, timestamps, pitch):
     """Synthesize TEXT via an MCP server and save the wav."""
     import asyncio
     import base64
@@ -492,7 +574,8 @@ def speak(text, output, voice_id, speed, process_command, process_args,
                          server_host, server_port)
         async with c:
             result = await c.text_to_speech(
-                text, voice_id, speed, return_timestamps=timestamps
+                text, voice_id, speed, return_timestamps=timestamps,
+                pitch=pitch,
             )
         if not isinstance(result, dict) or result.get("status") != "success":
             err = result.get("error") if isinstance(result, dict) else result

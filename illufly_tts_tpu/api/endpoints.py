@@ -26,7 +26,7 @@ from ..runtime.scheduler import TTSServiceManager
 from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
-from .http_common import json_object, parse_speed
+from .http_common import json_object, parse_pitch, parse_speed
 
 logger = logging.getLogger(__name__)
 
@@ -36,6 +36,7 @@ SERVICE_VERSION = "0.1.0"
 # shared with the engine-free gateway (see http_common.py docstring)
 _json_object = json_object
 _parse_speed = parse_speed
+_parse_pitch = parse_pitch
 
 
 def make_cors_middleware(cors_origins: str):
@@ -106,11 +107,12 @@ async def _process_tts_request(
     speed: float = 1.0,
     output_format: str = "f32",
     return_timestamps: bool = False,
+    pitch: float = 1.0,
 ) -> Dict[str, Any]:
     task_id = await manager.submit_task(
         text=text, voice_id=voice_id, speed=speed, user_id=user_id,
         sequence_id=sequence_id, output_format=output_format,
-        return_timestamps=return_timestamps,
+        return_timestamps=return_timestamps, pitch=pitch,
     )
     while True:
         status = await manager.get_task_status(task_id)
@@ -277,6 +279,7 @@ def create_app(
                 manager, text, voice_id, user_id, sequence_id, speed,
                 output_format,
                 return_timestamps=bool(body.get("return_timestamps", False)),
+                pitch=_parse_pitch(body),
             )
         except ValueError as exc:
             # submit-time capability rejections (e.g. return_timestamps on
@@ -331,6 +334,7 @@ def create_app(
             raise web.HTTPBadRequest(reason="missing 'text'")
         voice_id = body.get("voice_id", "zf_001")
         speed = _parse_speed(body)
+        pitch = _parse_pitch(body)
         return_timestamps = bool(body.get("return_timestamps", False))
         manager: TTSServiceManager = request.app["service_manager"]
         user_id = user.get("user_id")
@@ -342,14 +346,17 @@ def create_app(
         # steps keep the segments themselves in order
         base_seq = time.time()
         task_ids = []
-        for i, segment in enumerate(segments):
-            task_ids.append(
-                await manager.submit_task(
-                    segment, voice_id, speed, user_id,
-                    sequence_id=base_seq + i * 1e-3,
-                    return_timestamps=return_timestamps,
+        try:
+            for i, segment in enumerate(segments):
+                task_ids.append(
+                    await manager.submit_task(
+                        segment, voice_id, speed, user_id,
+                        sequence_id=base_seq + i * 1e-3,
+                        return_timestamps=return_timestamps, pitch=pitch,
+                    )
                 )
-            )
+        except ValueError as exc:  # submit-time capability/range checks
+            raise web.HTTPBadRequest(reason=str(exc))
 
         import struct
 

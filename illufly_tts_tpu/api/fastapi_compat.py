@@ -28,6 +28,7 @@ class TextToSpeechRequest(BaseModel):
     text: str
     voice_id: str = "zf_001"
     speed: float = 1.0
+    pitch: float = 1.0
     # float like the scheduler's TTSTask.sequence_id (time.time()-style
     # ids must not 422 here when the aiohttp mount accepts them)
     sequence_id: Optional[float] = None
@@ -125,6 +126,7 @@ def mount_tts_service(
     async def _proxy_tts(body: TextToSpeechRequest):
         result = await app.state.mcp_client.text_to_speech(
             text=body.text, voice=body.voice_id, speed=body.speed,
+            pitch=body.pitch,
         )
         if not isinstance(result, dict):
             raise HTTPException(status_code=502,
@@ -146,10 +148,13 @@ def mount_tts_service(
         user_id = user.get("user_id")
         if body.cancel_pending and user_id:
             await manager.cancel_user_pending_tasks(user_id)
-        result = await _process_tts_request(
-            manager, body.text, body.voice_id, user_id, body.sequence_id,
-            body.speed,
-        )
+        try:
+            result = await _process_tts_request(
+                manager, body.text, body.voice_id, user_id,
+                body.sequence_id, body.speed, pitch=body.pitch,
+            )
+        except ValueError as exc:  # submit-time range/capability checks
+            raise HTTPException(status_code=400, detail=str(exc))
         if result["status"] == "error":
             err = result["error"] or "synthesis failed"
             # voice problems are the caller's fault; device/batch errors

@@ -19,6 +19,7 @@ from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
 from .http_common import json_object as _json_object
+from .http_common import parse_pitch as _parse_pitch
 from .http_common import parse_speed as _parse_speed
 
 logger = logging.getLogger(__name__)
@@ -78,6 +79,7 @@ def create_gateway_app(
             text=text,
             voice=body.get("voice_id", "zf_001"),
             speed=_parse_speed(body),
+            pitch=_parse_pitch(body),
         )
         if not isinstance(result, dict):
             raise web.HTTPBadGateway(reason="malformed MCP response")

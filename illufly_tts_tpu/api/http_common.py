@@ -30,3 +30,10 @@ def parse_speed(body: Dict[str, Any]) -> float:
         return float(body.get("speed", 1.0))
     except (TypeError, ValueError):
         raise web.HTTPBadRequest(reason="'speed' must be a number")
+
+
+def parse_pitch(body: Dict[str, Any]) -> float:
+    try:
+        return float(body.get("pitch", 1.0))
+    except (TypeError, ValueError):
+        raise web.HTTPBadRequest(reason="'pitch' must be a number")

@@ -260,10 +260,13 @@ class TTSMcpClient:
     async def text_to_speech(self, text: str, voice: str = "zf_001",
                              speed: float = 1.0,
                              return_timestamps: bool = False,
+                             pitch: float = 1.0,
                              ) -> Dict[str, Any]:
         args: Dict[str, Any] = {
             "text": text, "voice": voice, "speed": speed,
         }
+        if pitch != 1.0:  # older servers lack the knob; omit when neutral
+            args["pitch"] = pitch
         if return_timestamps:
             args["return_timestamps"] = True
         return await self.call_tool("text_to_speech", args)

@@ -39,11 +39,11 @@ class DispatchHandle:
     __slots__ = (
         "n", "b_bucket", "t_bucket", "ids", "mask", "ref", "d",
         "pred_dur", "totals", "f_bucket", "audio", "fitted_totals",
-        "fmt", "keep_durations", "host_pred_dur", "ts_ctx",
+        "fmt", "keep_durations", "host_pred_dur", "ts_ctx", "pitch",
     )
 
     def __init__(self, n, b_bucket, t_bucket, ids, mask, ref, d,
-                 pred_dur, totals, fmt="pcm16"):
+                 pred_dur, totals, fmt="pcm16", pitch=None):
         self.n = n
         self.b_bucket = b_bucket
         self.t_bucket = t_bucket
@@ -57,6 +57,7 @@ class DispatchHandle:
         self.audio = None
         self.fitted_totals = None
         self.fmt = fmt
+        self.pitch = pitch
         self.keep_durations = False
         self.host_pred_dur = None
         self.ts_ctx = None  # pipeline-owned frontend context for timestamps
@@ -365,11 +366,12 @@ class Synthesizer:
             taps = self._fir_taps
             to_8k = fmt == "mulaw8k"
 
-            def run_mulaw(params, ids, mask, d, pred_dur, ref_s):
+            def run_mulaw(params, ids, mask, d, pred_dur, ref_s, pitch):
                 fitted = _fit_durations(pred_dur, frames)
                 audio, fmask = self.model.apply(
                     params, ids, mask, d, fitted, ref_s, frames,
-                    pcm16=False, method=KokoroModel.decode_frames,
+                    pcm16=False, pitch=pitch,
+                    method=KokoroModel.decode_frames,
                 )
                 # same peak policy as the pcm16 path (decode_frames)
                 peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
@@ -383,12 +385,13 @@ class Synthesizer:
 
             return jax.jit(run_mulaw)
 
-        def run(params, ids, mask, d, pred_dur, ref_s):
+        def run(params, ids, mask, d, pred_dur, ref_s, pitch):
             # duration fit lives inside the program (see _stage_a_fn)
             fitted = _fit_durations(pred_dur, frames)
             return self.model.apply(
                 params, ids, mask, d, fitted, ref_s, frames,
-                pcm16=(fmt == "pcm16"), method=KokoroModel.decode_frames,
+                pcm16=(fmt == "pcm16"), pitch=pitch,
+                method=KokoroModel.decode_frames,
             )
 
         return jax.jit(run)
@@ -475,7 +478,7 @@ class Synthesizer:
         ref = jnp.zeros((batch, 2 * self.config.style_dim), jnp.float32)
         speed = jnp.ones((batch,), jnp.float32)
         d, pred_dur, _ = a_fn(self.params, ids, mask, ref, speed)
-        out = fn(self.params, ids, mask, d, pred_dur, ref)
+        out = fn(self.params, ids, mask, d, pred_dur, ref, speed)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         logger.info(
@@ -494,6 +497,7 @@ class Synthesizer:
         speeds: Optional[Sequence[float]] = None,
         fmt: str = "pcm16",
         keep_durations: bool = False,
+        pitches: Optional[Sequence[float]] = None,
     ) -> "DispatchHandle":
         """Stage the batch and launch stage A (async). Returns a handle for
         ``launch_decode``/``collect``.  ``fmt`` selects the on-device
@@ -517,6 +521,8 @@ class Synthesizer:
             )
         if speeds is None:
             speeds = [1.0] * n
+        if pitches is None:
+            pitches = [1.0] * n
 
         id_lists = [
             encode_phonemes(p, max_len=MAX_PHONEMES + 2)
@@ -554,6 +560,7 @@ class Synthesizer:
             (b_bucket, 2 * self.config.style_dim), np.float32
         )
         speed_arr = np.ones((b_bucket,), np.float32)
+        pitch_arr = np.ones((b_bucket,), np.float32)
         for i, id_list in enumerate(id_lists):
             ids[i, : len(id_list)] = id_list
             mask[i, : len(id_list)] = 1.0
@@ -561,6 +568,7 @@ class Synthesizer:
             row = min(len(phonemes_list[i]) - 1, pack.shape[0] - 1)
             ref_s[i] = pack[max(row, 0)]
             speed_arr[i] = speeds[i]
+            pitch_arr[i] = pitches[i]
         # ids beyond the model's vocab (custom configs smaller than the
         # phoneme table) read as unk=0 — an out-of-range embedding gather
         # is NaN on CPU and garbage on TPU, which silently zeroed every
@@ -586,6 +594,7 @@ class Synthesizer:
             n=n, b_bucket=b_bucket, t_bucket=t_bucket,
             ids=ids_d, mask=mask_d, ref=ref_d, d=d,
             pred_dur=pred_dur, totals=totals, fmt=self._as_fmt(fmt),
+            pitch=put(pitch_arr),
         )
         handle.keep_durations = keep_durations
         return handle
@@ -618,7 +627,7 @@ class Synthesizer:
         )
         audio, _ = stage_b(
             self.params, handle.ids, handle.mask, handle.d,
-            handle.pred_dur, handle.ref,
+            handle.pred_dur, handle.ref, handle.pitch,
         )
         handle.f_bucket = f_bucket
         handle.audio = audio
@@ -710,11 +719,11 @@ class Synthesizer:
         key = ("prep", batch, tokens, frames)
         with self._lock:
             if key not in self._stage_b:
-                def run(params, ids, mask, d, pred_dur, ref_s):
+                def run(params, ids, mask, d, pred_dur, ref_s, pitch):
                     fitted = _fit_durations(pred_dur, frames)
                     return self.model.apply(
                         params, ids, mask, d, fitted, ref_s, frames,
-                        method=KokoroModel.decode_prepare,
+                        pitch=pitch, method=KokoroModel.decode_prepare,
                     )
 
                 self._stage_b[key] = jax.jit(run)
@@ -768,7 +777,7 @@ class Synthesizer:
         )
         x, f0_m, cum_rad, cur_mask = prep(
             self.params, handle.ids, handle.mask, handle.d,
-            handle.pred_dur, handle.ref,
+            handle.pred_dur, handle.ref, handle.pitch,
         )
         win_fn = self._get_stage_window(
             handle.b_bucket, 2 * window_frames, 2 * halo_frames
@@ -808,6 +817,7 @@ class Synthesizer:
         speeds: Optional[Sequence[float]] = None,
         pcm16: bool = False,
         fmt: str = "pcm16",
+        pitches: Optional[Sequence[float]] = None,
     ) -> List[np.ndarray]:
         """IPA phoneme strings -> list of waveforms.
 
@@ -825,17 +835,21 @@ class Synthesizer:
             return []
         if speeds is None:
             speeds = [1.0] * len(phonemes_list)
+        if pitches is None:
+            pitches = [1.0] * len(phonemes_list)
         max_b = self.batch_buckets[-1]
         n = len(phonemes_list)
         if n <= max_b:
             return self.collect(
-                self.dispatch(phonemes_list, voice_ids, speeds, fmt=fmt),
+                self.dispatch(phonemes_list, voice_ids, speeds, fmt=fmt,
+                              pitches=pitches),
                 pcm16=pcm16,
             )
         handles = [
             self.dispatch(
                 phonemes_list[s:s + max_b], voice_ids[s:s + max_b],
                 speeds[s:s + max_b], fmt=fmt,
+                pitches=pitches[s:s + max_b],
             )
             for s in range(0, n, max_b)
         ]

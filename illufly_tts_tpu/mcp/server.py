@@ -38,6 +38,7 @@ TOOLS = [
                 "text": {"type": "string"},
                 "voice": {"type": "string", "default": "zf_001"},
                 "speed": {"type": "number", "default": 1.0},
+                "pitch": {"type": "number", "default": 1.0},
                 "return_timestamps": {"type": "boolean", "default": False},
             },
             "required": ["text"],
@@ -104,14 +105,19 @@ class ManagerBackend:
     async def text_to_speech(self, text: str, voice: str = "zf_001",
                              speed: float = 1.0,
                              return_timestamps: bool = False,
+                             pitch: float = 1.0,
                              ) -> Dict[str, Any]:
         from ..api.endpoints import _process_tts_request
 
         await self.start()
-        return await _process_tts_request(
-            self._manager, text, voice, user_id="mcp", sequence_id=None,
-            speed=speed, return_timestamps=return_timestamps,
-        )
+        try:
+            return await _process_tts_request(
+                self._manager, text, voice, user_id="mcp",
+                sequence_id=None, speed=speed,
+                return_timestamps=return_timestamps, pitch=pitch,
+            )
+        except ValueError as exc:  # submit-time range/capability checks
+            return {"status": "error", "error": str(exc)}
 
     async def list_voices(self) -> Dict[str, Any]:
         names = self._manager.pipeline.list_voices() or ["zf_001"]

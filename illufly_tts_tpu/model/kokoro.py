@@ -79,10 +79,11 @@ class KokoroModel(nn.Module):
         num_frames: int,
         rng: Optional[jax.Array] = None,
         pcm16: bool = False,
+        pitch: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.config
         asr, f0, n_energy, fmask, dec_style = self._stage_b_front(
-            input_ids, mask, d, pred_dur, ref_s, num_frames
+            input_ids, mask, d, pred_dur, ref_s, num_frames, pitch=pitch
         )
         audio = self.decoder(asr, f0, n_energy, dec_style, fmask, rng)
         sample_mask = jnp.repeat(fmask, cfg.samples_per_frame, axis=1)
@@ -97,17 +98,25 @@ class KokoroModel(nn.Module):
         return audio, fmask
 
     def _stage_b_front(self, input_ids, mask, d, pred_dur, ref_s,
-                       num_frames):
+                       num_frames, pitch=None):
         """Shared front half of stage B (batch AND streaming paths —
         keep them in lockstep): style split, duration expansion, frame
         mask, F0/N towers, text encoder alignment.
-        -> (asr [B,F,H], f0, n_energy, fmask [B,F], dec_style)."""
+        -> (asr [B,F,H], f0, n_energy, fmask [B,F], dec_style).
+
+        ``pitch`` ([B] float, 1.0 = neutral) scales the predicted F0
+        contour before the harmonic source — the prosody knob orthogonal
+        to ``speed`` (which scales durations in stage A). Beyond the
+        reference's surface (its KModel exposes speed only,
+        kmodel.py:94-103)."""
         cfg = self.config
         style = ref_s[:, cfg.style_split:].astype(cfg.dtype)
         dec_style = ref_s[:, : cfg.style_split].astype(cfg.dtype)
         en = expand_by_duration(d, pred_dur, num_frames)        # [B,F,H+S]
         fmask = frame_mask(pred_dur, num_frames)                # [B,F]
         f0, n_energy = self.predictor.f0n_train(en, style, fmask)
+        if pitch is not None:
+            f0 = f0 * pitch[:, None].astype(f0.dtype)
         t_en = self.text_encoder(input_ids, mask)               # [B,T,H]
         asr = expand_by_duration(t_en, pred_dur, num_frames)    # [B,F,H]
         return asr, f0, n_energy, fmask, dec_style
@@ -122,6 +131,7 @@ class KokoroModel(nn.Module):
         pred_dur: jnp.ndarray,      # [B, T] int32 frames
         ref_s: jnp.ndarray,         # [B, 256]
         num_frames: int,
+        pitch: Optional[jnp.ndarray] = None,
     ):
         """Everything with sequence-global state, at the full frame budget:
         the prosody BiLSTM (f0n_train), the decoder trunk, and the harmonic
@@ -129,7 +139,7 @@ class KokoroModel(nn.Module):
         ``decode_window`` (VERDICT r2 next-8: intra-utterance streaming)."""
         cfg = self.config
         asr, f0, n_energy, fmask, dec_style = self._stage_b_front(
-            input_ids, mask, d, pred_dur, ref_s, num_frames
+            input_ids, mask, d, pred_dur, ref_s, num_frames, pitch=pitch
         )
         x, f0_m, cur_mask = self.decoder.trunk(
             asr, f0, n_energy, dec_style, fmask

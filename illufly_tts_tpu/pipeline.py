@@ -281,7 +281,8 @@ class TTSPipeline:
     # --- synthesis ---------------------------------------------------------------
 
     def generate_from_phonemes(
-        self, phonemes: str, voice_id: str = "zf_001", speed: float = 1.0
+        self, phonemes: str, voice_id: str = "zf_001", speed: float = 1.0,
+        pitch: float = 1.0,
     ) -> np.ndarray:
         if len(phonemes) > MAX_PHONEMES:
             logger.warning(
@@ -290,7 +291,7 @@ class TTSPipeline:
             )
             phonemes = phonemes[:MAX_PHONEMES]
         return self.synthesizer.synthesize_batch(
-            [phonemes], [voice_id], [speed]
+            [phonemes], [voice_id], [speed], pitches=[pitch]
         )[0]
 
     def process(
@@ -300,6 +301,7 @@ class TTSPipeline:
         speed: float = 1.0,
         output_path: Optional[str] = None,
         segment_text: bool = False,
+        pitch: float = 1.0,
     ) -> np.ndarray:
         normalized = self.preprocess_text(text)
         if segment_text:
@@ -307,11 +309,14 @@ class TTSPipeline:
             parts = []
             for seg in segments:
                 ipa = self.phonemes_to_ipa(self.text_to_phonemes(seg))
-                parts.append(self.generate_from_phonemes(ipa, voice_id, speed))
+                parts.append(self.generate_from_phonemes(
+                    ipa, voice_id, speed, pitch=pitch
+                ))
             audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
         else:
             ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
-            audio = self.generate_from_phonemes(ipa, voice_id, speed)
+            audio = self.generate_from_phonemes(ipa, voice_id, speed,
+                                                pitch=pitch)
         if output_path:
             os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
             save_wav(output_path, audio, self.sample_rate)
@@ -323,6 +328,7 @@ class TTSPipeline:
         voice_id: str,
         speed: float = 1.0,
         output_path: Optional[str] = None,
+        pitch: float = 1.0,
     ):
         """Synthesize and return ``(audio, words)`` where ``words`` is
         ``[{"text", "phonemes", "start_s", "end_s"}, ...]`` — word-level
@@ -337,7 +343,8 @@ class TTSPipeline:
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
         handle = self.synthesizer.dispatch(
-            [ipa], [voice_id], [speed], keep_durations=True
+            [ipa], [voice_id], [speed], keep_durations=True,
+            pitches=[pitch],
         )
         audio = self.synthesizer.collect(handle)[0]
         fitted = self.synthesizer.rendered_durations(handle)[0]
@@ -404,6 +411,7 @@ class TTSPipeline:
         speed: float = 1.0,
         window_frames: int = 64,
         halo_frames: int = 16,
+        pitch: float = 1.0,
     ):
         """Yield waveform chunks for ONE utterance as the decoder renders
         it window by window (intra-utterance streaming, one level deeper
@@ -415,7 +423,8 @@ class TTSPipeline:
         normalized = self.preprocess_text(text)
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
-        handle = self.synthesizer.dispatch([ipa], [voice_id], [speed])
+        handle = self.synthesizer.dispatch([ipa], [voice_id], [speed],
+                                           pitches=[pitch])
         yield from self._stream_chunks(handle, window_frames, halo_frames)
 
     def _stream_chunks(self, handle, window_frames: int, halo_frames: int):
@@ -440,6 +449,7 @@ class TTSPipeline:
         speed: float = 1.0,
         window_frames: int = 64,
         halo_frames: int = 16,
+        pitch: float = 1.0,
     ):
         """``(words, chunk_generator)`` for one utterance: intra-utterance
         streaming (``stream_process``) plus word timestamps. The stamps
@@ -451,7 +461,8 @@ class TTSPipeline:
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
         handle = self.synthesizer.dispatch(
-            [ipa], [voice_id], [speed], keep_durations=True
+            [ipa], [voice_id], [speed], keep_durations=True,
+            pitches=[pitch],
         )
         fitted = self.synthesizer.rendered_durations(handle)[0]
         words = self._word_timestamps(normalized, ipa, fitted, handle.t_bucket)
@@ -480,6 +491,7 @@ class TTSPipeline:
         voice_ids: Sequence[str],
         speeds: Optional[Sequence[float]] = None,
         output_format: str = "f32",
+        pitches: Optional[Sequence[float]] = None,
     ) -> List[np.ndarray]:
         """One fused batched model call for many texts
         (reference pipeline.py:556-614).
@@ -501,7 +513,8 @@ class TTSPipeline:
             with TIMERS.track("model"):
                 fmt, pcm16 = self._device_fmt(output_format)
                 return self.synthesizer.synthesize_batch(
-                    ipa_list, voice_ids, speeds, pcm16=pcm16, fmt=fmt
+                    ipa_list, voice_ids, speeds, pcm16=pcm16, fmt=fmt,
+                    pitches=pitches,
                 )
         except Exception:
             if not self.fail_silent:
@@ -516,6 +529,7 @@ class TTSPipeline:
         speeds: Optional[Sequence[float]] = None,
         output_format: str = "f32",
         want: Optional[Sequence[bool]] = None,
+        pitches: Optional[Sequence[float]] = None,
     ):
         """Like ``batch_process_texts`` but returns ``(audios, stamps)``
         where ``stamps[i]`` is the word-timestamp list for item i (see
@@ -542,7 +556,7 @@ class TTSPipeline:
             with TIMERS.track("model"):
                 handle = self.synthesizer.dispatch(
                     ipa_list, voice_ids, speeds, fmt=fmt,
-                    keep_durations=True,
+                    keep_durations=True, pitches=pitches,
                 )
                 audios = self.synthesizer.collect(handle, pcm16=pcm16)
                 fitted = self.synthesizer.rendered_durations(handle)
@@ -595,6 +609,7 @@ class TTSPipeline:
         speeds: Optional[Sequence[float]] = None,
         output_format: str = "f32",
         want_timestamps: Optional[Sequence[bool]] = None,
+        pitches: Optional[Sequence[float]] = None,
     ):
         """Frontend + stage A for one batch; returns an opaque handle for
         ``launch_decode``/``collect_batch``. Splitting the phases lets the
@@ -625,7 +640,8 @@ class TTSPipeline:
             ipa_list = self._texts_to_ipa(texts)
         fmt, _ = self._device_fmt(output_format)
         handle = self.synthesizer.dispatch(
-            ipa_list, voice_ids, speeds, fmt=fmt, keep_durations=keep
+            ipa_list, voice_ids, speeds, fmt=fmt, keep_durations=keep,
+            pitches=pitches,
         )
         if keep:
             handle.ts_ctx = (normalized, ipa_list, list(want_timestamps))
@@ -835,23 +851,29 @@ class CachedTTSPipeline(TTSPipeline):
         return self.synthesizer.is_voice_loaded(voice_id)
 
     @staticmethod
-    def _audio_key(fmt: str, voice: str, speed, text: str) -> str:
-        # the ONE place the audio-cache key format is spelled
-        return f"audio:{fmt}:{voice}:{speed}:{text}"
+    def _audio_key(fmt: str, voice: str, speed, text: str,
+                   pitch=1.0) -> str:
+        # the ONE place the audio-cache key format is spelled; neutral
+        # pitch keeps the reference's key shape (pipeline.py:800-815)
+        base = f"audio:{fmt}:{voice}:{speed}:{text}"
+        return base if pitch == 1.0 else f"{base}:p{pitch}"
 
     def _plan_audio_batch(self, texts, voice_ids, speeds, output_format,
-                          want=None, stamps=None):
+                          want=None, stamps=None, pitches=None):
         """Shared hit/dedup plan for the split-phase and blocking paths:
         -> (results with hits pre-filled, uncached rows, row->unique-slot
         map, row->cache-key map, unique compute rows). A row that wants
         timestamps (``want[i]``) only counts as a hit when its stamps are
         cached too (filled into ``stamps[i]``); otherwise it recomputes."""
+        if pitches is None:
+            pitches = [1.0] * len(texts)
         results: List[Optional[np.ndarray]] = []
         uncached: List[int] = []
         for i, (text, voice, speed) in enumerate(
             zip(texts, voice_ids, speeds)
         ):
-            key = self._audio_key(output_format, voice, speed, text)
+            key = self._audio_key(output_format, voice, speed, text,
+                                  pitches[i])
             audio = self._audio_cache_get(key)
             if audio is not None and want is not None and want[i]:
                 st = self._audio_cache_get("stamps:" + key)
@@ -862,35 +884,39 @@ class CachedTTSPipeline(TTSPipeline):
             results.append(audio)
             if audio is None:
                 uncached.append(i)
-        # dedup identical (text, voice, speed) inside the batch
+        # dedup identical (text, voice, speed, pitch) inside the batch
         # (reference pipeline.py:574-584)
         unique: Dict[tuple, int] = {}
         compute_idx: List[int] = []
         for i in uncached:
-            sig = (texts[i], voice_ids[i], speeds[i])
+            sig = (texts[i], voice_ids[i], speeds[i], pitches[i])
             if sig not in unique:
                 unique[sig] = len(compute_idx)
                 compute_idx.append(i)
         unique_row = {
-            i: unique[(texts[i], voice_ids[i], speeds[i])]
+            i: unique[(texts[i], voice_ids[i], speeds[i], pitches[i])]
             for i in uncached
         }
         keys = {
             i: self._audio_key(
-                output_format, voice_ids[i], speeds[i], texts[i]
+                output_format, voice_ids[i], speeds[i], texts[i],
+                pitches[i],
             )
             for i in uncached
         }
         return results, uncached, unique_row, keys, compute_idx
 
     def dispatch_texts(self, texts, voice_ids, speeds=None,
-                       output_format="f32", want_timestamps=None):
+                       output_format="f32", want_timestamps=None,
+                       pitches=None):
         """Split-phase dispatch with the audio cache applied first: cached
         rows are pre-filled, only the deduped misses go to the device (the
         same hit/dedup scheme as batch_process_texts). Timestamped rows
         hit only when their stamps are cached alongside the audio."""
         if speeds is None:
             speeds = [1.0] * len(texts)
+        if pitches is None:
+            pitches = [1.0] * len(texts)
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
         h = _CachedDispatch()
@@ -900,7 +926,7 @@ class CachedTTSPipeline(TTSPipeline):
         (h.results, h.uncached, h.unique_row, h.keys,
          compute_idx) = self._plan_audio_batch(
             texts, voice_ids, speeds, output_format,
-            want=h.want, stamps=h.stamps,
+            want=h.want, stamps=h.stamps, pitches=pitches,
         )
         if h.uncached:
             compute_want = None
@@ -919,6 +945,7 @@ class CachedTTSPipeline(TTSPipeline):
                 [speeds[i] for i in compute_idx],
                 output_format=output_format,
                 want_timestamps=compute_want,
+                pitches=[pitches[i] for i in compute_idx],
             )
         return h
 
@@ -955,11 +982,14 @@ class CachedTTSPipeline(TTSPipeline):
         return handle.stamps
 
     def batch_process_texts(self, texts, voice_ids, speeds=None,
-                            output_format="f32"):
+                            output_format="f32", pitches=None):
         if speeds is None:
             speeds = [1.0] * len(texts)
+        if pitches is None:
+            pitches = [1.0] * len(texts)
         results, uncached, unique_row, keys, compute_idx = (
-            self._plan_audio_batch(texts, voice_ids, speeds, output_format)
+            self._plan_audio_batch(texts, voice_ids, speeds, output_format,
+                                   pitches=pitches)
         )
         if uncached:
             fresh = super().batch_process_texts(
@@ -967,6 +997,7 @@ class CachedTTSPipeline(TTSPipeline):
                 [voice_ids[i] for i in compute_idx],
                 [speeds[i] for i in compute_idx],
                 output_format=output_format,
+                pitches=[pitches[i] for i in compute_idx],
             )
             for i in uncached:
                 audio = fresh[unique_row[i]]

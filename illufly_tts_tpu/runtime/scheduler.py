@@ -23,6 +23,7 @@ import heapq
 import itertools
 import logging
 import os
+from functools import partial
 import time
 import uuid
 from collections import deque
@@ -61,6 +62,7 @@ class TTSTask:
     audio_chunks: List[np.ndarray] = field(default_factory=list)
     debug_id: Optional[str] = None
     output_format: str = "f32"  # 'f32' | 'pcm16' | 'mulaw8k' | 'mulaw24k'
+    pitch: float = 1.0          # F0 scale (1.0 = neutral)
     want_timestamps: bool = False
     timestamps: Optional[List[Dict[str, Any]]] = None  # word-level, opt-in
 
@@ -180,9 +182,17 @@ class TTSServiceManager:
         sequence_id: Optional[float] = None,
         output_format: str = "f32",
         return_timestamps: bool = False,
+        pitch: float = 1.0,
     ) -> str:
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
+        if pitch != 1.0:
+            if not 0.25 <= pitch <= 4.0:
+                raise ValueError("pitch must be within [0.25, 4.0]")
+            if not self._pipeline_accepts_pitch():
+                # reject up front (same policy as return_timestamps): a
+                # silent neutral-pitch render would be wrong audio
+                raise ValueError("pitch is not supported by this pipeline")
         if return_timestamps and not (
             getattr(self.pipeline, "supports_split_phase", False)
             or getattr(self.pipeline,
@@ -218,7 +228,7 @@ class TTSServiceManager:
         task = TTSTask(
             task_id=task_id, text=text, voice_id=voice_id, speed=speed,
             user_id=user_id, output_format=output_format,
-            want_timestamps=return_timestamps,
+            want_timestamps=return_timestamps, pitch=pitch,
         )
         if sequence_id is not None:
             task.sequence_id = float(sequence_id)
@@ -237,6 +247,30 @@ class TTSServiceManager:
             task.sequence_id,
         )
         return task_id
+
+    def _pipeline_accepts_pitch(self) -> bool:
+        """True when batch_process_texts (or the split surface) takes a
+        ``pitches`` kwarg — duck-typed pipelines may predate the knob.
+        Signature inspection memoized (stable for a pipeline's life)."""
+        cached = getattr(self, "_accepts_pitch", None)
+        if cached is not None:
+            return cached
+        import inspect
+
+        self._accepts_pitch = self._inspect_pitch_support(inspect)
+        return self._accepts_pitch
+
+    def _inspect_pitch_support(self, inspect) -> bool:
+        for name in ("dispatch_texts", "batch_process_texts"):
+            fn = getattr(self.pipeline, name, None)
+            if fn is None:
+                continue
+            try:
+                if "pitches" in inspect.signature(fn).parameters:
+                    return True
+            except (TypeError, ValueError):
+                continue
+        return False
 
     def _cancel(self, task: TTSTask) -> None:
         task.status = TaskStatus.CANCELED
@@ -395,6 +429,13 @@ class TTSServiceManager:
             fmt = batch[0].output_format  # _select_batch groups by format
             start = time.time()
             want = [t.want_timestamps for t in batch]
+            pitches = [t.pitch for t in batch]
+            # neutral batches keep the reference-shaped calls (and the
+            # duck-typed pipeline extension point) untouched
+            pitch_kw = (
+                {"pitches": pitches}
+                if any(p != 1.0 for p in pitches) else {}
+            )
             ts_fn = getattr(
                 self.pipeline, "batch_process_texts_with_timestamps", None
             )
@@ -407,7 +448,7 @@ class TTSServiceManager:
                 # timestamped batches keep the decode-ahead overlap
                 audios, stamps = await self._run_batch_split(
                     texts, voices, speeds, fmt,
-                    want if any(want) else None,
+                    want if any(want) else None, pitch_kw,
                 )
                 if stamps is not None:
                     for task, ts in zip(batch, stamps):
@@ -416,7 +457,8 @@ class TTSServiceManager:
             elif any(want) and ts_fn is not None:
                 # fused fallback for pipelines without the split surface
                 audios, stamps = await asyncio.to_thread(
-                    ts_fn, texts, voices, speeds, fmt, want
+                    partial(ts_fn, texts, voices, speeds, fmt, want,
+                            **pitch_kw)
                 )
                 for task, ts in zip(batch, stamps):
                     if task.want_timestamps:
@@ -425,13 +467,13 @@ class TTSServiceManager:
                 # default format goes through the legacy 3-arg call so
                 # duck-typed pipelines (an extension point) keep working
                 audios = await asyncio.to_thread(
-                    self.pipeline.batch_process_texts, texts, voices,
-                    speeds,
+                    partial(self.pipeline.batch_process_texts, texts,
+                            voices, speeds, **pitch_kw)
                 )
             else:
                 audios = await asyncio.to_thread(
-                    self.pipeline.batch_process_texts, texts, voices,
-                    speeds, fmt,
+                    partial(self.pipeline.batch_process_texts, texts,
+                            voices, speeds, fmt, **pitch_kw)
                 )
             elapsed = time.time() - start
             logger.info(
@@ -501,7 +543,7 @@ class TTSServiceManager:
             self._wakeup.set()  # the loop may now select this batch's users
 
     async def _run_batch_split(self, texts, voices, speeds, fmt,
-                               want=None):
+                               want=None, pitch_kw=None):
         """Decode-ahead pipelining through the pipeline's split-phase
         surface: batch k+1's host frontend + stage A run while batch k
         decodes, and collecting batch k first launches batch k+1's stage B
@@ -511,7 +553,8 @@ class TTSServiceManager:
         ``(audios, stamps_or_None)``; ``want`` asks for per-row word
         timestamps (rides the same dispatch)."""
         handle = await asyncio.to_thread(
-            self._dispatch_split, texts, voices, speeds, fmt, want
+            self._dispatch_split, texts, voices, speeds, fmt, want,
+            pitch_kw or {},
         )
         self._decode_q.append(handle)
         try:
@@ -527,12 +570,13 @@ class TTSServiceManager:
             self._decode_q.remove(handle)
             self._head_event.set()  # synchronous: safe under cancellation
 
-    def _dispatch_split(self, texts, voices, speeds, fmt, want):
-        if want is None:
-            return self.pipeline.dispatch_texts(texts, voices, speeds, fmt)
-        return self.pipeline.dispatch_texts(
-            texts, voices, speeds, fmt, want_timestamps=want
-        )
+    def _dispatch_split(self, texts, voices, speeds, fmt, want,
+                        pitch_kw=None):
+        kw = dict(pitch_kw or {})
+        if want is not None:
+            kw["want_timestamps"] = want
+        return self.pipeline.dispatch_texts(texts, voices, speeds, fmt,
+                                            **kw)
 
     def _decode_collect(self, handle, fmt, want=None):
         # worker thread; `handle` is the queue head and stays head until

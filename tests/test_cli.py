@@ -116,3 +116,54 @@ def test_convert_roundtrip(tmp_path):
     assert len(leaves1) == len(leaves2)
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_voice_help():
+    result = CliRunner().invoke(cli, ["train-voice", "--help"])
+    assert result.exit_code == 0
+    for flag in ("--data", "--output", "--steps", "--lr", "--init-voice"):
+        assert flag in result.output, flag
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_train_voice_end_to_end(tmp_path):
+    """train-voice learns a pack from (wav, txt) pairs and writes the
+    standard length-indexed layout that load_voice accepts."""
+    import numpy as np
+
+    from illufly_tts_tpu.audio.wav import save_wav
+
+    d = tmp_path / "spk"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        wave = (0.1 * np.sin(np.linspace(0, 60 + i, 4800))).astype(
+            np.float32
+        ) + 0.01 * rng.randn(4800).astype(np.float32)
+        save_wav(str(d / f"u{i}.wav"), wave, 24000)
+        (d / f"u{i}.txt").write_text(f"你好世界{i}", encoding="utf-8")
+
+    out = tmp_path / "zf_custom.npy"
+    result = CliRunner().invoke(cli, [
+        "train-voice", "--data", str(d), "-o", str(out), "--tiny",
+        "--steps", "6", "--batch-size", "2", "--tokens", "16",
+        "--frames", "8", "--device", "cpu",
+    ])
+    assert result.exit_code == 0, result.output
+    pack = np.load(out)
+    assert pack.shape == (510, 1, 64)  # tiny cfg: 2*style_dim = 64
+    assert np.isfinite(pack).all()
+
+    # the written pack loads as a voice
+    from illufly_tts_tpu.__main__ import _tiny_cfg
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+
+    s = Synthesizer(config=_tiny_cfg(), voices_dir=str(tmp_path))
+    v = s.load_voice("zf_custom")
+    # load_voice squeezes the [L,1,256] pack layout to [L,256]
+    # (reference kmodel.py:78-80)
+    assert v.shape == (510, 64)
+    np.testing.assert_array_equal(v[0], pack[0, 0])

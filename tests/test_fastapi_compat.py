@@ -99,7 +99,7 @@ class FakeMcpClient:
     async def close(self):
         self.connected = False
 
-    async def text_to_speech(self, text, voice, speed):
+    async def text_to_speech(self, text, voice, speed, pitch=1.0):
         self.tts_calls.append((text, voice, speed))
         if voice == "no_such_voice":
             return {"status": "error", "error": "voice not found: " + voice}
@@ -150,7 +150,7 @@ async def test_remote_proxy_tts_success_and_errors(compat, monkeypatch):
         await app.routes[("POST", "/api/tts")](bad, _Request())
     assert exc.value.status_code == 400
 
-    async def boom(text, voice, speed):
+    async def boom(text, voice, speed, pitch=1.0):
         return {"status": "error", "error": "device lost"}
     client.text_to_speech = boom
     with pytest.raises(compat.HTTPException) as exc:
@@ -190,7 +190,7 @@ async def test_malformed_mcp_response_is_502(compat, monkeypatch):
                               require_user=lambda: {"user_id": "u"})
     client = FakeMcpClient.instances[0]
 
-    async def weird(text, voice, speed):
+    async def weird(text, voice, speed, pitch=1.0):
         return "not a dict"
     client.text_to_speech = weird
     body = compat.TextToSpeechRequest(text="hi")

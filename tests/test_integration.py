@@ -159,9 +159,11 @@ def test_within_batch_dedup(pipe):
     calls = []
     orig = type(pipe).__mro__[1].batch_process_texts  # TTSPipeline impl
 
-    def spy(texts, voice_ids, speeds=None, output_format="f32"):
+    def spy(texts, voice_ids, speeds=None, output_format="f32",
+            pitches=None):
         calls.append(list(texts))
-        return orig(pipe, texts, voice_ids, speeds, output_format)
+        return orig(pipe, texts, voice_ids, speeds, output_format,
+                    pitches=pitches)
 
     import unittest.mock as mock
 

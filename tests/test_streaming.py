@@ -110,7 +110,7 @@ def test_overlap_regions_allclose(synth):
     prep = synth._get_stage_prep(h.b_bucket, h.t_bucket, 128)
     pred = _fit_durations(h.pred_dur, 128)
     x, f0_m, cum_rad, cur_mask = prep(
-        synth.params, h.ids, h.mask, h.d, pred, h.ref
+        synth.params, h.ids, h.mask, h.d, pred, h.ref, h.pitch
     )
     win_fn = synth._get_stage_window(h.b_bucket, 2 * W, 2 * H)
     spf = synth.config.samples_per_frame
