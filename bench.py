@@ -240,7 +240,7 @@ def main() -> None:
     )
     args_b = (
         synth.params, handle.ids, handle.mask, handle.d,
-        handle.pred_dur, handle.ref,
+        handle.pred_dur, handle.ref, handle.pitch,
     )
     t_a = time_stage(jax, stage_a, args_a)
     t_b = time_stage(jax, stage_b, args_b)
