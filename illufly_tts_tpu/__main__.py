@@ -409,7 +409,14 @@ def train_voice(data_dir, output, repo_id, steps, lr, batch_size, tokens,
 
     engine = Synthesizer(config=_tiny_cfg() if tiny else KokoroConfig(),
                          voices_dir=voices_dir)
-    if repo_id and os.path.isfile(repo_id):
+    if repo_id:
+        if not os.path.isfile(repo_id):
+            # a typo'd path or an HF repo id would silently adapt
+            # against RANDOM weights and write a garbage pack
+            raise click.ClickException(
+                f"--repo-id {repo_id!r} is not a readable weights file "
+                "(.msgpack or torch .pt/.pth)"
+            )
         engine.load_params(repo_id)
     cfg = engine.config
 
@@ -436,7 +443,7 @@ def train_voice(data_dir, output, repo_id, steps, lr, batch_size, tokens,
     ))
     style, metrics = adapt_voice(
         engine.model, engine.params, batches, steps=steps,
-        learning_rate=lr, frames=frames, spectral=True,
+        learning_rate=lr, frames=frames, init=init, spectral=True,
     )
     np.save(output, style_to_pack(style))
     click.echo(f"wrote {output} ({metrics})")

@@ -290,7 +290,7 @@ def create_app(
             # else — device/compile/batch errors — is a server fault and
             # must be 5xx so clients retry and dashboards classify right
             err = result["error"] or "synthesis failed"
-            if "voice" in err.lower():
+            if "voice" in err.lower() or "pitch" in err.lower():
                 raise web.HTTPBadRequest(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)

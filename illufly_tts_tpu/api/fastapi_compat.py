@@ -133,7 +133,8 @@ def mount_tts_service(
                                 detail="malformed MCP response")
         if result.get("status") not in (None, "success"):
             err = result.get("error") or "processing failed"
-            code = 400 if "voice" in err.lower() else 500
+            code = 400 if ("voice" in err.lower()
+                           or "pitch" in err.lower()) else 500
             raise HTTPException(status_code=code, detail=err)
         return result
 
@@ -159,7 +160,8 @@ def mount_tts_service(
             err = result["error"] or "synthesis failed"
             # voice problems are the caller's fault; device/batch errors
             # are server faults and must be 5xx (see endpoints.py)
-            code = 400 if "voice" in err.lower() else 500
+            code = 400 if ("voice" in err.lower()
+                           or "pitch" in err.lower()) else 500
             raise HTTPException(status_code=code, detail=err)
         return result
 

@@ -86,7 +86,7 @@ def create_gateway_app(
         if result.get("status") != "success":
             err = result.get("error") or "processing failed"
             # voice problems are client errors; the rest are server-side
-            if "voice" in err.lower():
+            if "voice" in err.lower() or "pitch" in err.lower():
                 raise web.HTTPBadRequest(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)

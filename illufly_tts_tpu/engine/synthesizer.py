@@ -478,7 +478,8 @@ class Synthesizer:
         ref = jnp.zeros((batch, 2 * self.config.style_dim), jnp.float32)
         speed = jnp.ones((batch,), jnp.float32)
         d, pred_dur, _ = a_fn(self.params, ids, mask, ref, speed)
-        out = fn(self.params, ids, mask, d, pred_dur, ref, speed)
+        pitch = jnp.ones((batch,), jnp.float32)  # neutral, same spec as serving
+        out = fn(self.params, ids, mask, d, pred_dur, ref, pitch)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         logger.info(

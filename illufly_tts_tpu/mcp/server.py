@@ -149,9 +149,14 @@ class FakeBackend:
     async def text_to_speech(self, text: str, voice: str = "zf_001",
                              speed: float = 1.0,
                              return_timestamps: bool = False,
+                             pitch: float = 1.0,
                              ) -> Dict[str, Any]:
         import base64
         import struct
+
+        if not 0.25 <= pitch <= 4.0:  # same contract as the real backend
+            return {"status": "error",
+                    "error": "pitch must be within [0.25, 4.0]"}
 
         if not text:
             return {"status": "error", "error": "missing text"}
@@ -243,6 +248,8 @@ class MCPServer:
             kwargs: Dict[str, Any] = {}
             if args.get("return_timestamps"):
                 kwargs["return_timestamps"] = True
+            if "pitch" in args:
+                kwargs["pitch"] = float(args["pitch"])
             payload = await self.backend.text_to_speech(
                 text=args.get("text", ""),
                 voice=args.get("voice", args.get("voice_id", "zf_001")),

@@ -853,10 +853,14 @@ class CachedTTSPipeline(TTSPipeline):
     @staticmethod
     def _audio_key(fmt: str, voice: str, speed, text: str,
                    pitch=1.0) -> str:
-        # the ONE place the audio-cache key format is spelled; neutral
-        # pitch keeps the reference's key shape (pipeline.py:800-815)
-        base = f"audio:{fmt}:{voice}:{speed}:{text}"
-        return base if pitch == 1.0 else f"{base}:p{pitch}"
+        # the ONE place the audio-cache key format is spelled (reference
+        # scheme pipeline.py:800-815 + fmt/pitch components). Fixed-form
+        # components all come BEFORE the free text — text is the last
+        # component so its embedded colons stay unambiguous — and the
+        # pitch component is UNconditional: an optional tag collides a
+        # neutral text that happens to start with 'p2.0:' with the real
+        # pitched request
+        return f"audio:{fmt}:{voice}:{speed}:p{pitch}:{text}"
 
     def _plan_audio_batch(self, texts, voice_ids, speeds, output_format,
                           want=None, stamps=None, pitches=None):

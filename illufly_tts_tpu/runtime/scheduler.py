@@ -189,7 +189,7 @@ class TTSServiceManager:
         if pitch != 1.0:
             if not 0.25 <= pitch <= 4.0:
                 raise ValueError("pitch must be within [0.25, 4.0]")
-            if not self._pipeline_accepts_pitch():
+            if not self._pipeline_accepts_pitch(return_timestamps):
                 # reject up front (same policy as return_timestamps): a
                 # silent neutral-pitch render would be wrong audio
                 raise ValueError("pitch is not supported by this pipeline")
@@ -248,29 +248,43 @@ class TTSServiceManager:
         )
         return task_id
 
-    def _pipeline_accepts_pitch(self) -> bool:
-        """True when batch_process_texts (or the split surface) takes a
-        ``pitches`` kwarg — duck-typed pipelines may predate the knob.
-        Signature inspection memoized (stable for a pipeline's life)."""
-        cached = getattr(self, "_accepts_pitch", None)
-        if cached is not None:
-            return cached
+    def _pipeline_accepts_pitch(self, wants_timestamps: bool) -> bool:
+        """True when the surface _run_batch will actually call for this
+        task accepts a ``pitches`` kwarg — duck-typed pipelines may
+        predate the knob, and approving a pitch the dispatch surface
+        can't take would turn the designed 400 into a mid-batch
+        TypeError. Mirrors _run_batch's branch selection; memoized per
+        (wants_timestamps) since signatures are stable."""
+        cache = getattr(self, "_accepts_pitch", None)
+        if cache is None:
+            cache = self._accepts_pitch = {}
+        if wants_timestamps not in cache:
+            cache[wants_timestamps] = self._inspect_pitch_support(
+                wants_timestamps
+            )
+        return cache[wants_timestamps]
+
+    def _inspect_pitch_support(self, wants_timestamps: bool) -> bool:
         import inspect
 
-        self._accepts_pitch = self._inspect_pitch_support(inspect)
-        return self._accepts_pitch
-
-    def _inspect_pitch_support(self, inspect) -> bool:
-        for name in ("dispatch_texts", "batch_process_texts"):
-            fn = getattr(self.pipeline, name, None)
-            if fn is None:
-                continue
-            try:
-                if "pitches" in inspect.signature(fn).parameters:
-                    return True
-            except (TypeError, ValueError):
-                continue
-        return False
+        split_ok = getattr(self.pipeline, "supports_split_phase", False)
+        if split_ok and (
+            not wants_timestamps
+            or hasattr(self.pipeline, "collect_timestamps")
+        ):
+            fn = getattr(self.pipeline, "dispatch_texts", None)
+        elif wants_timestamps and getattr(
+            self.pipeline, "batch_process_texts_with_timestamps", None
+        ):
+            fn = self.pipeline.batch_process_texts_with_timestamps
+        else:
+            fn = getattr(self.pipeline, "batch_process_texts", None)
+        if fn is None:
+            return False
+        try:
+            return "pitches" in inspect.signature(fn).parameters
+        except (TypeError, ValueError):
+            return False
 
     def _cancel(self, task: TTSTask) -> None:
         task.status = TaskStatus.CANCELED

@@ -256,3 +256,33 @@ async def test_gateway_requires_auth(monkeypatch):
         assert resp.status == 200
     finally:
         await client.close()
+
+
+async def test_tool_pitch_forwarded_to_backend():
+    """The 'pitch' tool argument must reach the backend (regression: the
+    dispatch layer once dropped it, silently rendering neutral-pitch
+    audio on every MCP-proxied surface)."""
+    seen = {}
+
+    class SpyBackend(FakeBackend):
+        async def text_to_speech(self, text, voice="zf_001", speed=1.0,
+                                 return_timestamps=False, pitch=1.0):
+            seen["pitch"] = pitch
+            return await super().text_to_speech(
+                text, voice, speed, return_timestamps, pitch
+            )
+
+    server = MCPServer(SpyBackend())
+    reply = await server.handle_message(p.request(1, "tools/call", {
+        "name": "text_to_speech",
+        "arguments": {"text": "你好", "pitch": 1.5},
+    }))
+    assert p.parse_content_text(reply["result"])["status"] == "success"
+    assert seen["pitch"] == 1.5
+    # out-of-range pitch is an error on the MCP path too
+    reply = await server.handle_message(p.request(2, "tools/call", {
+        "name": "text_to_speech",
+        "arguments": {"text": "你好", "pitch": 9.9},
+    }))
+    out = p.parse_content_text(reply["result"])
+    assert out["status"] == "error" and "pitch" in out["error"]

@@ -184,3 +184,47 @@ async def test_api_pitch_passthrough_and_capability():
         assert "pitch" in (await resp.text()).lower()
     finally:
         await client.close()
+
+
+def test_audio_cache_key_collision_free():
+    """Pitch is a fixed-form component BEFORE the free text: suffix (or
+    conditional) tags collide crafted texts with pitched requests."""
+    from illufly_tts_tpu.pipeline import CachedTTSPipeline
+
+    key = CachedTTSPipeline._audio_key
+    pairs = [
+        (("f32", "v", 1.0, "hi", 2.0), ("f32", "v", 1.0, "hi:p2.0", 1.0)),
+        (("f32", "v", 1.0, "hello", 2.0),
+         ("f32", "v", 1.0, "p2.0:hello", 1.0)),
+    ]
+    for a, b in pairs:
+        assert key(*a) != key(*b), (a, b)
+    assert key("f32", "v", 1.0, "hi", 1.0) != key("f32", "v", 1.0, "hi", 2.0)
+
+
+async def test_capability_check_mirrors_dispatch_surface():
+    """A split-phase pipeline whose dispatch_texts predates the pitch
+    knob must be rejected at submit even if its batch_process_texts has
+    it — approving the wrong surface turns the 400 into a mid-batch
+    TypeError."""
+    from illufly_tts_tpu.runtime.scheduler import TTSServiceManager
+    from tests.test_api import FakePipeline
+
+    class SplitNoPitch(FakePipeline):
+        supports_split_phase = True
+
+        def dispatch_texts(self, texts, voice_ids, speeds=None,
+                           output_format="f32", want_timestamps=None):
+            raise AssertionError("should never be dispatched")
+
+        def batch_process_texts(self, texts, voice_ids, speeds=None,
+                                output_format="f32", pitches=None):
+            return super().batch_process_texts(
+                texts, voice_ids, speeds, output_format
+            )
+
+    manager = TTSServiceManager(pipeline=SplitNoPitch(), output_dir=None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pitch"):
+        await manager.submit_task("你好", pitch=2.0)
