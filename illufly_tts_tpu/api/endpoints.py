@@ -461,8 +461,58 @@ def create_app(
         await response.write_eof()
         return response
 
+    async def openai_speech(request: web.Request) -> web.Response:
+        """OpenAI-compatible ``POST /v1/audio/speech`` (drop-in for
+        clients built against that API shape; beyond the reference's
+        surface). Body: ``{model, input, voice, response_format, speed}``
+        (+ ``pitch``, an extension). Returns raw audio bytes — WAV
+        (PCM16 @24k) by default, ``response_format: "pcm"`` for headerless
+        little-endian int16. The ``model`` field is accepted and ignored
+        (one model is served); OpenAI's stock voice names map to the
+        default voice when not present as packs."""
+        _require_user(request)
+        body = await _json_object(request)
+        text = body.get("input")
+        if not text or not isinstance(text, str):
+            raise web.HTTPBadRequest(reason="missing 'input'")
+        fmt = body.get("response_format", "wav")
+        if fmt not in ("wav", "pcm"):
+            raise web.HTTPBadRequest(
+                reason=f"unsupported response_format {fmt!r}; use wav|pcm"
+            )
+        manager: TTSServiceManager = request.app["service_manager"]
+        voice = body.get("voice", "zf_001")
+        stock = {"alloy", "ash", "coral", "echo", "fable", "onyx",
+                 "nova", "sage", "shimmer", "verse"}
+        loaded = getattr(manager.pipeline, "is_voice_loaded", None)
+        if voice in stock and (loaded is None or not loaded(voice)):
+            voice = "zf_001"
+        try:
+            speed = float(body.get("speed", 1.0))
+        except (TypeError, ValueError):
+            raise web.HTTPBadRequest(reason="'speed' must be a number")
+        try:
+            result = await _process_tts_request(
+                manager, text, voice, None, None, speed,
+                pitch=_parse_pitch(body),
+            )
+        except ValueError as exc:
+            raise web.HTTPBadRequest(reason=str(exc))
+        if result["status"] == "error":
+            err = result["error"] or "synthesis failed"
+            if "voice" in err.lower() or "pitch" in err.lower():
+                raise web.HTTPBadRequest(reason=err)
+            raise web.HTTPInternalServerError(reason=err)
+        wav = base64.b64decode(result["audio_base64"])
+        if fmt == "pcm":
+            # strip the 44-byte canonical header this server writes
+            return web.Response(body=wav[44:],
+                                content_type="audio/pcm")
+        return web.Response(body=wav, content_type="audio/wav")
+
     app.router.add_post(f"{prefix}/tts", text_to_speech)
     app.router.add_post(f"{prefix}/tts/stream", tts_stream)
+    app.router.add_post("/v1/audio/speech", openai_speech)
     app.router.add_get(f"{prefix}/tts/voices", get_voices)
     app.router.add_get(f"{prefix}/tts/info", get_info)
     app.router.add_get(f"{prefix}/tts/stats", get_stats)

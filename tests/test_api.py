@@ -633,3 +633,50 @@ async def test_duck_pipeline_without_output_rate():
         assert "timestamps" in (await resp.text()).lower()
     finally:
         await client.close()
+
+
+async def test_openai_compatible_speech_endpoint():
+    """POST /v1/audio/speech (OpenAI API shape): returns raw WAV bytes;
+    'pcm' strips the header; stock voice names map to the default;
+    unsupported formats 400."""
+    import struct
+
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"model": "tts-1", "input": "你好", "voice": "alloy"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        assert resp.headers["Content-Type"] == "audio/wav"
+        wav = await resp.read()
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        rate = struct.unpack("<I", wav[24:28])[0]
+        assert rate == 24000
+
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"input": "你好", "response_format": "pcm",
+                  "speed": 1.2},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
+        pcm = await resp.read()
+        assert pcm[:4] != b"RIFF" and len(pcm) == len(wav) - 44
+
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"input": "你好", "response_format": "mp3"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400
+
+        resp = await client.post(
+            "/v1/audio/speech", json={"model": "tts-1"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400  # missing input
+
+        resp = await client.post("/v1/audio/speech",
+                                 json={"input": "hi"})
+        assert resp.status == 401  # auth still applies
