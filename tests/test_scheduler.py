@@ -646,3 +646,111 @@ async def test_split_phase_failure_policy():
     await manager.shutdown()
     assert manager.tasks[bad].error
     assert manager.tasks[good].audio_chunks
+
+
+class RichFakePipeline(FakePipeline):
+    """FakePipeline plus the pitch + timestamps surfaces, recording the
+    per-call attribute vectors for cross-contamination checks."""
+
+    def __init__(self, delay=0.005):
+        super().__init__(delay)
+        self.attr_calls = []
+
+    def batch_process_texts(self, texts, voice_ids, speeds=None,
+                            output_format="f32", pitches=None):
+        self.attr_calls.append(
+            ("plain", list(texts), output_format, pitches)
+        )
+        return super().batch_process_texts(
+            texts, voice_ids, speeds, output_format
+        )
+
+    def batch_process_texts_with_timestamps(self, texts, voice_ids,
+                                            speeds=None,
+                                            output_format="f32",
+                                            want=None, pitches=None):
+        self.attr_calls.append(("ts", list(texts), output_format, pitches))
+        audios = super().batch_process_texts(
+            texts, voice_ids, speeds, output_format
+        )
+        stamps = [
+            [{"text": t, "phonemes": "x", "start_s": 0.0, "end_s": 0.1}]
+            if (want is None or want[i]) else None
+            for i, t in enumerate(texts)
+        ]
+        return audios, stamps
+
+
+async def test_mixed_attribute_soak():
+    """Seeded soak: random formats x pitch x timestamps x users x
+    cancels. Every task terminates; batches stay format-homogeneous;
+    pitched rows carry their own pitch (no neutral-pitch contamination);
+    timestamped tasks get stamps, untimestamped tasks never do."""
+    import random
+
+    rng = random.Random(7)
+    pipeline = RichFakePipeline()
+    manager = TTSServiceManager(
+        pipeline=pipeline, max_wait_time=0.02, batch_size=4,
+    )
+    await manager.start()
+    submitted = {}
+    try:
+        seq = 0.0
+        for _ in range(60):
+            user = f"u{rng.randrange(5)}"
+            seq += 1.0
+            fmt = rng.choice(["f32", "f32", "pcm16", "mulaw8k"])
+            pitch = rng.choice([1.0, 1.0, 0.8, 2.0])
+            want_ts = rng.random() < 0.3
+            text = f"{user}-{seq:.0f}-p{pitch}"
+            tid = await manager.submit_task(
+                text, "v", user_id=user, sequence_id=seq,
+                output_format=fmt, pitch=pitch, return_timestamps=want_ts,
+            )
+            submitted[tid] = (fmt, pitch, want_ts, text)
+            if rng.random() < 0.1:
+                await manager.cancel_user_pending_tasks(
+                    f"u{rng.randrange(5)}"
+                )
+            if rng.random() < 0.3:
+                await asyncio.sleep(rng.random() * 0.01)
+
+        deadline = asyncio.get_event_loop().time() + 20.0
+        while asyncio.get_event_loop().time() < deadline:
+            if all(
+                manager.tasks[t].status in (
+                    TaskStatus.COMPLETED, TaskStatus.FAILED,
+                    TaskStatus.CANCELED,
+                ) for t in submitted
+            ):
+                break
+            await asyncio.sleep(0.02)
+        else:
+            raise TimeoutError("soak tasks did not all terminate")
+    finally:
+        await manager.shutdown()
+
+    for tid, (fmt, pitch, want_ts, text) in submitted.items():
+        task = manager.tasks[tid]
+        assert task.status in (TaskStatus.COMPLETED, TaskStatus.CANCELED)
+        if task.status is TaskStatus.COMPLETED:
+            assert task.audio_chunks
+            if want_ts:
+                assert task.timestamps, text
+            else:
+                assert task.timestamps is None, text
+
+    # batch-level invariants from the recorded calls
+    text_attrs = {
+        text: (fmt, pitch)
+        for (fmt, pitch, _, text) in submitted.values()
+    }
+    for kind, texts, fmt, pitches in pipeline.attr_calls:
+        fmts = {text_attrs[t][0] for t in texts}
+        assert len(fmts) == 1 and fmt in fmts  # format-homogeneous
+        expected = [text_attrs[t][1] for t in texts]
+        if pitches is None:
+            assert all(p == 1.0 for p in expected), (texts, expected)
+        else:
+            assert pitches == expected, (texts, pitches, expected)
