@@ -114,10 +114,23 @@ async def _process_tts_request(
         sequence_id=sequence_id, output_format=output_format,
         return_timestamps=return_timestamps, pitch=pitch,
     )
+    # bounded poll: a wedged device/batch must surface as an error, not
+    # hang the HTTP request forever (the reference polls unbounded,
+    # endpoints.py:109-113). Generous default — a cold compile of a
+    # fresh bucket through the remote tunnel can take minutes.
+    timeout_s = float(os.environ.get("TTS_REQUEST_TIMEOUT", "600"))
+    deadline = time.monotonic() + timeout_s if timeout_s > 0 else None
     while True:
         status = await manager.get_task_status(task_id)
         if status["status"] in ("completed", "failed", "canceled"):
             break
+        if deadline is not None and time.monotonic() > deadline:
+            await manager.cancel_task(task_id)
+            return {
+                "status": "error",
+                "task_id": task_id,
+                "error": f"request timed out after {timeout_s:.0f}s",
+            }
         await asyncio.sleep(0.05)
     if status["status"] != "completed":
         return {
@@ -292,6 +305,8 @@ def create_app(
             err = result["error"] or "synthesis failed"
             if "voice" in err.lower() or "pitch" in err.lower():
                 raise web.HTTPBadRequest(reason=err)
+            if "timed out" in err.lower():
+                raise web.HTTPGatewayTimeout(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)
 

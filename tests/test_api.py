@@ -680,3 +680,41 @@ async def test_openai_compatible_speech_endpoint():
         resp = await client.post("/v1/audio/speech",
                                  json={"input": "hi"})
         assert resp.status == 401  # auth still applies
+
+
+async def test_request_timeout_maps_to_504(monkeypatch):
+    """A wedged batch must not hang POST /tts forever: TTS_REQUEST_TIMEOUT
+    bounds the poll and surfaces 504 (reference polls unbounded,
+    endpoints.py:109-113)."""
+    import asyncio as aio
+
+    class StuckPipeline(FakePipeline):
+        def batch_process_texts(self, texts, voice_ids, speeds=None,
+                                output_format="f32"):
+            import time
+
+            time.sleep(30)  # longer than the test timeout
+            return super().batch_process_texts(
+                texts, voice_ids, speeds, output_format
+            )
+
+    import os
+
+    os.makedirs("/tmp/tts_api_test", exist_ok=True)
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    monkeypatch.setenv("TTS_REQUEST_TIMEOUT", "0.5")
+    app = create_app(output_dir="/tmp/tts_api_test",
+                     pipeline=StuckPipeline(), max_wait_time=0.02)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await aio.wait_for(
+            client.post("/api/tts", json={"text": "你好"},
+                        headers=auth_headers()),
+            timeout=10.0,
+        )
+        assert resp.status == 504
+        assert "timed out" in (await resp.text()).lower()
+    finally:
+        await client.close()
