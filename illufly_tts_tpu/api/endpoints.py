@@ -26,7 +26,12 @@ from ..runtime.scheduler import TTSServiceManager
 from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
-from .http_common import json_object, parse_pitch, parse_speed
+from .http_common import (
+    is_client_fault,
+    json_object,
+    parse_pitch,
+    parse_speed,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -303,7 +308,7 @@ def create_app(
             # else — device/compile/batch errors — is a server fault and
             # must be 5xx so clients retry and dashboards classify right
             err = result["error"] or "synthesis failed"
-            if "voice" in err.lower() or "pitch" in err.lower():
+            if is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
             if "timed out" in err.lower():
                 raise web.HTTPGatewayTimeout(reason=err)
@@ -515,8 +520,10 @@ def create_app(
             raise web.HTTPBadRequest(reason=str(exc))
         if result["status"] == "error":
             err = result["error"] or "synthesis failed"
-            if "voice" in err.lower() or "pitch" in err.lower():
+            if is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
+            if "timed out" in err.lower():
+                raise web.HTTPGatewayTimeout(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         wav = base64.b64decode(result["audio_base64"])
         if fmt == "pcm":

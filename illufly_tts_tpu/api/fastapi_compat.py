@@ -14,6 +14,7 @@ from fastapi import APIRouter, FastAPI, HTTPException, Request
 from pydantic import BaseModel
 
 from .auth import AuthError, authenticate
+from .http_common import is_client_fault
 from .dev_mode import generate_dev_token, is_dev_mode
 
 # NB: the engine stack (runtime.scheduler -> pipeline -> jax) is imported
@@ -133,8 +134,7 @@ def mount_tts_service(
                                 detail="malformed MCP response")
         if result.get("status") not in (None, "success"):
             err = result.get("error") or "processing failed"
-            code = 400 if ("voice" in err.lower()
-                           or "pitch" in err.lower()) else 500
+            code = 400 if is_client_fault(err) else 500
             raise HTTPException(status_code=code, detail=err)
         return result
 
@@ -160,8 +160,7 @@ def mount_tts_service(
             err = result["error"] or "synthesis failed"
             # voice problems are the caller's fault; device/batch errors
             # are server faults and must be 5xx (see endpoints.py)
-            code = 400 if ("voice" in err.lower()
-                           or "pitch" in err.lower()) else 500
+            code = 400 if is_client_fault(err) else 500
             raise HTTPException(status_code=code, detail=err)
         return result
 

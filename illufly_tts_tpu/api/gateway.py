@@ -18,6 +18,7 @@ from ..client.mcp_client import TTSMcpClient
 from .auth import AuthError, authenticate
 from .dev_endpoints import add_dev_routes
 from .dev_mode import is_dev_mode
+from .http_common import is_client_fault as _is_client_fault
 from .http_common import json_object as _json_object
 from .http_common import parse_pitch as _parse_pitch
 from .http_common import parse_speed as _parse_speed
@@ -86,7 +87,7 @@ def create_gateway_app(
         if result.get("status") != "success":
             err = result.get("error") or "processing failed"
             # voice problems are client errors; the rest are server-side
-            if "voice" in err.lower() or "pitch" in err.lower():
+            if _is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)

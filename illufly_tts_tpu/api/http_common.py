@@ -37,3 +37,12 @@ def parse_pitch(body: Dict[str, Any]) -> float:
         return float(body.get("pitch", 1.0))
     except (TypeError, ValueError):
         raise web.HTTPBadRequest(reason="'pitch' must be a number")
+
+
+def is_client_fault(err: str) -> bool:
+    """Classify a pipeline/scheduler error message as caller-fault (4xx)
+    vs server-fault (5xx). One place so every surface (aiohttp, gateway,
+    FastAPI shim) agrees: unknown voices and out-of-range speed/pitch
+    are the caller's doing; device/compile/batch errors are not."""
+    low = (err or "").lower()
+    return "voice" in low or "pitch" in low or "speed" in low

@@ -186,6 +186,12 @@ class TTSServiceManager:
     ) -> str:
         if output_format not in ("f32", "pcm16", "mulaw8k", "mulaw24k"):
             raise ValueError(f"unknown output_format: {output_format!r}")
+        if not 0.1 <= speed <= 10.0:
+            # stage A divides durations by speed (reference kmodel.py:103)
+            # — 0/negative/absurd values would NaN or inf the alignment;
+            # caller fault, reject up front (wide bounds: the reference
+            # accepts any float and crashes downstream)
+            raise ValueError("speed must be within [0.1, 10.0]")
         if pitch != 1.0:
             if not 0.25 <= pitch <= 4.0:
                 raise ValueError("pitch must be within [0.25, 4.0]")

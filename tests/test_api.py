@@ -718,3 +718,21 @@ async def test_request_timeout_maps_to_504(monkeypatch):
         assert "timed out" in (await resp.text()).lower()
     finally:
         await client.close()
+
+
+async def test_speed_out_of_range_is_400():
+    """speed=0 divides durations in stage A (reference kmodel.py:103 —
+    the reference crashes downstream); here it is rejected up front."""
+    async with client_ctx() as client:
+        for bad in (0, -1, 100):
+            resp = await client.post(
+                "/api/tts", json={"text": "你好", "speed": bad},
+                headers=auth_headers(),
+            )
+            assert resp.status == 400, bad
+            assert "speed" in (await resp.text()).lower()
+        resp = await client.post(
+            "/api/tts", json={"text": "你好", "speed": 1.5},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
