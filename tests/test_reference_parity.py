@@ -376,3 +376,95 @@ def test_en_intra_word_hyphen_not_minus(mine_en):
         mine_en, "It was -12.5 degrees."
     )
     assert "x-five" in _en(mine_en, "x-5 is negative")
+
+
+# ---------------------------------------------------------------------------
+# Module-level bit-parity: the reference's en building blocks ARE correct
+# below the broken cascade — verbalize_number, replace_time (ordinary
+# minutes), replace_currency. Import them directly and diff on generated
+# grids; the few divergences are each a pinned reference bug.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_en_modules(ref_en):  # ref_en loads the refnorm_all package
+    import importlib
+
+    return (
+        importlib.import_module("refnorm_all.en.num"),
+        importlib.import_module("refnorm_all.en.chronology"),
+        importlib.import_module("refnorm_all.en.currency"),
+    )
+
+
+def test_en_number_module_bit_parity(ref_en_modules):
+    """verbalize_number: bit-identical to the reference on 196 generated
+    cardinals (0-129, round/edge values, randoms up to 10^15)."""
+    import random
+
+    from illufly_tts_tpu.frontend.normalization.en import num as my_num
+
+    ref_num, _, _ = ref_en_modules
+    rng = random.Random(0)
+    cases = (
+        list(range(0, 130))
+        + [1000, 1001, 1100, 9999, 100000, 1000001]
+        + [rng.randrange(10 ** rng.randrange(1, 15)) for _ in range(60)]
+    )
+    diffs = [
+        (n, ref_num.verbalize_number(str(n)), my_num.verbalize_number(n))
+        for n in cases
+        if ref_num.verbalize_number(str(n)) != my_num.verbalize_number(n)
+    ]
+    assert not diffs, diffs[:5]
+
+
+def test_en_time_module_grid(ref_en_modules):
+    """replace_time: identical to the reference for ordinary minutes
+    (>= 10) over an hour x minute grid; the reference's ':00'->'zero' /
+    ':0x'->'x' readings (minutes without o'clock/oh) are its pinned bug
+    (also test_en_oclock_reference_bug at the cascade level)."""
+    from illufly_tts_tpu.frontend.normalization.en import (
+        chronology as my_ch,
+    )
+
+    _, ref_ch, _ = ref_en_modules
+    for h in (0, 1, 8, 11, 12, 13, 23):
+        for m in (10, 15, 30, 45, 59):
+            t = f"{h}:{m:02d}"
+            r = ref_ch.replace_time(ref_ch.RE_TIME.search(t))
+            mine = my_ch.replace_time(my_ch.RE_TIME.search(t))
+            assert r == mine, (t, r, mine)
+    # the divergent classes, pinned
+    assert ref_ch.replace_time(ref_ch.RE_TIME.search("8:00")) == \
+        "eight zero"
+    assert my_ch.replace_time(my_ch.RE_TIME.search("8:00")) == \
+        "eight o'clock"
+    assert ref_ch.replace_time(ref_ch.RE_TIME.search("8:05")) == \
+        "eight five"
+    assert my_ch.replace_time(my_ch.RE_TIME.search("8:05")) == \
+        "eight oh five"
+
+
+def test_en_currency_module_parity(ref_en_modules):
+    """replace_currency: identical on dollars/cents combinations; the
+    reference leaves exact '.00' amounts UNverbalized ('$1.00' stays
+    '$1.00' — its cents=='00' early-return returns the raw match), we
+    read 'one dollar'."""
+    from illufly_tts_tpu.frontend.normalization.en import (
+        currency as my_cur,
+    )
+
+    _, _, ref_cur = ref_en_modules
+
+    def both(text):
+        r = ref_cur.replace_currency(ref_cur.RE_CURRENCY.search(text))
+        m = my_cur.replace_currency(my_cur.RE_CURRENCY.search(text))
+        return r, m
+
+    for text in ("$5", "$5.99", "$100", "$0.50", "$12.05", "$1000000"):
+        r, m = both(text)
+        assert r == m, (text, r, m)
+    r, m = both("$1.00")
+    assert r == "$1.00"  # pinned reference bug
+    assert m == "one dollar"
