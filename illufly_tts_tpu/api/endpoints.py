@@ -123,7 +123,14 @@ async def _process_tts_request(
     # hang the HTTP request forever (the reference polls unbounded,
     # endpoints.py:109-113). Generous default — a cold compile of a
     # fresh bucket through the remote tunnel can take minutes.
-    timeout_s = float(os.environ.get("TTS_REQUEST_TIMEOUT", "600"))
+    try:
+        timeout_s = float(os.environ.get("TTS_REQUEST_TIMEOUT", "600"))
+    except ValueError:
+        # a misconfigured env var must not fail every request (the
+        # handler's ValueError catch would 400 a server-side mistake)
+        logger.warning("invalid TTS_REQUEST_TIMEOUT %r; using 600",
+                       os.environ.get("TTS_REQUEST_TIMEOUT"))
+        timeout_s = 600.0
     deadline = time.monotonic() + timeout_s if timeout_s > 0 else None
     while True:
         status = await manager.get_task_status(task_id)
@@ -135,6 +142,10 @@ async def _process_tts_request(
                 "status": "error",
                 "task_id": task_id,
                 "error": f"request timed out after {timeout_s:.0f}s",
+                # structured flag: handlers map THIS to 504 — substring
+                # matching would confuse device errors mentioning
+                # timeouts with the poll bound
+                "timeout": True,
             }
         await asyncio.sleep(0.05)
     if status["status"] != "completed":
@@ -310,7 +321,7 @@ def create_app(
             err = result["error"] or "synthesis failed"
             if is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
-            if "timed out" in err.lower():
+            if result.get("timeout"):
                 raise web.HTTPGatewayTimeout(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)
@@ -490,7 +501,7 @@ def create_app(
         little-endian int16. The ``model`` field is accepted and ignored
         (one model is served); OpenAI's stock voice names map to the
         default voice when not present as packs."""
-        _require_user(request)
+        user = _require_user(request)
         body = await _json_object(request)
         text = body.get("input")
         if not text or not isinstance(text, str):
@@ -505,15 +516,19 @@ def create_app(
         stock = {"alloy", "ash", "coral", "echo", "fable", "onyx",
                  "nova", "sage", "shimmer", "verse"}
         loaded = getattr(manager.pipeline, "is_voice_loaded", None)
-        if voice in stock and (loaded is None or not loaded(voice)):
+        if voice in stock and (
+            loaded is None
+            # cache-miss probes read packs from disk — off the loop
+            # (same treatment as submit_task's load_voice)
+            or not await asyncio.to_thread(loaded, voice)
+        ):
             voice = "zf_001"
+        speed = _parse_speed(body)
         try:
-            speed = float(body.get("speed", 1.0))
-        except (TypeError, ValueError):
-            raise web.HTTPBadRequest(reason="'speed' must be a number")
-        try:
+            # user_id rides through so scheduler fairness and
+            # cancel_user_pending_tasks treat these like /tts traffic
             result = await _process_tts_request(
-                manager, text, voice, None, None, speed,
+                manager, text, voice, user.get("user_id"), None, speed,
                 pitch=_parse_pitch(body),
             )
         except ValueError as exc:
@@ -522,7 +537,7 @@ def create_app(
             err = result["error"] or "synthesis failed"
             if is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
-            if "timed out" in err.lower():
+            if result.get("timeout"):
                 raise web.HTTPGatewayTimeout(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         wav = base64.b64decode(result["audio_base64"])

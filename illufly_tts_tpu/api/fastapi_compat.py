@@ -134,7 +134,8 @@ def mount_tts_service(
                                 detail="malformed MCP response")
         if result.get("status") not in (None, "success"):
             err = result.get("error") or "processing failed"
-            code = 400 if is_client_fault(err) else 500
+            code = (400 if is_client_fault(err)
+                    else 504 if result.get("timeout") else 500)
             raise HTTPException(status_code=code, detail=err)
         return result
 
@@ -160,7 +161,8 @@ def mount_tts_service(
             err = result["error"] or "synthesis failed"
             # voice problems are the caller's fault; device/batch errors
             # are server faults and must be 5xx (see endpoints.py)
-            code = 400 if is_client_fault(err) else 500
+            code = (400 if is_client_fault(err)
+                    else 504 if result.get("timeout") else 500)
             raise HTTPException(status_code=code, detail=err)
         return result
 

@@ -89,6 +89,8 @@ def create_gateway_app(
             # voice problems are client errors; the rest are server-side
             if _is_client_fault(err):
                 raise web.HTTPBadRequest(reason=err)
+            if result.get("timeout"):
+                raise web.HTTPGatewayTimeout(reason=err)
             raise web.HTTPInternalServerError(reason=err)
         return web.json_response(result)
 

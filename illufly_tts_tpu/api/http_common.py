@@ -43,6 +43,15 @@ def is_client_fault(err: str) -> bool:
     """Classify a pipeline/scheduler error message as caller-fault (4xx)
     vs server-fault (5xx). One place so every surface (aiohttp, gateway,
     FastAPI shim) agrees: unknown voices and out-of-range speed/pitch
-    are the caller's doing; device/compile/batch errors are not."""
+    are the caller's doing; device/compile/batch errors are not.
+
+    Speed/pitch match the EXACT submit-time validation messages — a bare
+    'speed'/'pitch' substring would reclassify server-side batch errors
+    that merely mention the operand (e.g. 'speeds length mismatch')."""
     low = (err or "").lower()
-    return "voice" in low or "pitch" in low or "speed" in low
+    return (
+        "voice" in low
+        or "pitch must be within" in low
+        or "pitch is not supported" in low
+        or "speed must be within" in low
+    )

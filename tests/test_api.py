@@ -736,3 +736,55 @@ async def test_speed_out_of_range_is_400():
             headers=auth_headers(),
         )
         assert resp.status == 200
+
+
+async def test_openai_stock_voice_remaps_to_default():
+    """'alloy' etc. fall back to zf_001 when no such pack exists (the
+    always-loaded FakePipeline can't exercise this branch)."""
+    import os
+
+    class PickyPipeline(FakePipeline):
+        def __init__(self):
+            super().__init__()
+            self.seen_voices = []
+
+        def is_voice_loaded(self, voice_id):
+            return voice_id == "zf_001"
+
+        def load_voice(self, voice_id):
+            if voice_id != "zf_001":
+                raise ValueError(f"voice not found: {voice_id}")
+            return super().load_voice(voice_id)
+
+        def batch_process_texts(self, texts, voice_ids, speeds=None,
+                                output_format="f32"):
+            self.seen_voices.extend(voice_ids)
+            return super().batch_process_texts(
+                texts, voice_ids, speeds, output_format
+            )
+
+    os.makedirs("/tmp/tts_api_test", exist_ok=True)
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    pipe = PickyPipeline()
+    app = create_app(output_dir="/tmp/tts_api_test", pipeline=pipe,
+                     max_wait_time=0.02)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"input": "你好", "voice": "alloy"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        assert pipe.seen_voices == ["zf_001"]
+        # a NON-stock unknown voice is NOT remapped: fail-fast 400
+        resp = await client.post(
+            "/v1/audio/speech",
+            json={"input": "你好", "voice": "made_up_voice"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 400
+    finally:
+        await client.close()
