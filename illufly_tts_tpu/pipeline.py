@@ -128,6 +128,34 @@ class TTSPipeline:
 
     # --- text processing --------------------------------------------------------
 
+    def _ipa_within_budget(self, segment: str, _depth: int = 0) -> List[str]:
+        """IPA for one text segment, split so every piece fits the
+        510-phoneme model budget.
+
+        ``segment_text`` packs by CHARACTER count (reference
+        pipeline.py:111-146), but phoneme counts per char vary ~1-4x, so
+        a dense 400-char segment can exceed 510 phonemes — the reference
+        then silently TRUNCATES, dropping words (pipeline.py:191-193).
+        Here an over-budget segment re-splits at the punctuation boundary
+        nearest its middle (hard midpoint as last resort) and recurses,
+        so long-text synthesis renders every word."""
+        ipa = self.phonemes_to_ipa(self.text_to_phonemes(segment))
+        if len(ipa) <= MAX_PHONEMES or len(segment) < 2 or _depth > 8:
+            return [ipa]
+        mid = len(segment) // 2
+        cut = None
+        for m in re.finditer(r"[。！？.!?，,、；;：:\s]+", segment):
+            if m.end() >= len(segment):
+                continue
+            if cut is None or abs(m.end() - mid) < abs(cut - mid):
+                cut = m.end()
+        if cut is None or cut == 0:
+            cut = mid
+        return (
+            self._ipa_within_budget(segment[:cut], _depth + 1)
+            + self._ipa_within_budget(segment[cut:], _depth + 1)
+        )
+
     def segment_text(self, text: str, max_len: int = 400) -> List[str]:
         """Sentence-pack segments of <= max_len chars
         (reference pipeline.py:111-146 semantics)."""
@@ -308,10 +336,10 @@ class TTSPipeline:
             segments = self.segment_text(normalized)
             parts = []
             for seg in segments:
-                ipa = self.phonemes_to_ipa(self.text_to_phonemes(seg))
-                parts.append(self.generate_from_phonemes(
-                    ipa, voice_id, speed, pitch=pitch
-                ))
+                for ipa in self._ipa_within_budget(seg):
+                    parts.append(self.generate_from_phonemes(
+                        ipa, voice_id, speed, pitch=pitch
+                    ))
             audio = np.concatenate(parts) if parts else np.zeros(0, np.float32)
         else:
             ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))

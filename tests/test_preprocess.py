@@ -258,3 +258,29 @@ def test_mixed_language_number_context(pipe):
     for text in ("中文123英文", "英文123中文"):
         result = pipe.preprocess_text(text)
         assert result, text
+
+
+def test_ipa_within_budget_splits_instead_of_truncating():
+    """A dense segment whose phonemes exceed the 510 model budget is
+    re-split at punctuation (recursively) — the reference truncates and
+    silently drops words (pipeline.py:191-193)."""
+    from illufly_tts_tpu.pipeline import MAX_PHONEMES, TTSPipeline
+
+    pipe = TTSPipeline.__new__(TTSPipeline)
+    pipe._init_frontend_only()
+
+    dense = ("中华人民共和国国家发展和改革委员会，" * 12)[:400]
+    whole = pipe.phonemes_to_ipa(pipe.text_to_phonemes(dense))
+    assert len(whole) > MAX_PHONEMES  # the scenario is real at 400 chars
+
+    parts = pipe._ipa_within_budget(dense)
+    assert len(parts) >= 2
+    for p in parts:
+        assert len(p) <= MAX_PHONEMES
+    # nothing lost: the split pieces carry the same phoneme mass (within
+    # the few boundary separators the per-piece frontend re-derives)
+    assert abs(sum(len(p) for p in parts) - len(whole)) < 40
+
+    # a short segment passes through untouched
+    short = pipe._ipa_within_budget("你好。")
+    assert len(short) == 1
