@@ -268,6 +268,9 @@ def create_router_app(
 
     app.router.add_post(f"{prefix}/tts", handle_sticky)
     app.router.add_post(f"{prefix}/tts/stream", handle_sticky)
+    # OpenAI-compatible surface rides the same sticky routing (the
+    # backend keys fairness/stickiness on the same JWT user)
+    app.router.add_post("/v1/audio/speech", handle_sticky)
     app.router.add_get(f"{prefix}/tts/voices", handle_any)
     app.router.add_get(f"{prefix}/tts/info", handle_any)
     app.router.add_get(f"{prefix}/tts/stats", stats)

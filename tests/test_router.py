@@ -130,3 +130,41 @@ async def test_router_no_replicas_is_503():
         assert resp.status == 503
     finally:
         await client.close()
+
+
+async def test_router_routes_openai_endpoint():
+    """/v1/audio/speech proxies through the same sticky routing as
+    /api/tts (path-faithful: proxy uses request.rel_url)."""
+    from aiohttp.test_utils import TestClient, TestServer
+
+    log = []
+    stub = make_stub_backend("r1", log)
+
+    async def oa(request):
+        body = await request.json()
+        log.append(("r1-oa", body.get("input")))
+        return web.Response(body=b"RIFFxxxxWAVE",
+                            content_type="audio/wav")
+
+    stub.router.add_post("/v1/audio/speech", oa)
+    backend_client = TestClient(TestServer(stub))
+    await backend_client.start_server()
+    try:
+        base = (f"http://127.0.0.1:"
+                f"{backend_client.server.port}")
+        router = create_router_app([base], health_interval=0.1)
+        rc = TestClient(TestServer(router))
+        await rc.start_server()
+        try:
+            await asyncio.sleep(0.3)  # let the health loop mark it up
+            resp = await rc.post(
+                "/v1/audio/speech",
+                json={"input": "你好", "voice": "alloy"},
+            )
+            assert resp.status == 200, await resp.text()
+            assert (await resp.read()).startswith(b"RIFF")
+            assert ("r1-oa", "你好") in log
+        finally:
+            await rc.close()
+    finally:
+        await backend_client.close()
