@@ -354,6 +354,24 @@ def create_app(
         manager: TTSServiceManager = request.app["service_manager"]
         return web.json_response(manager.stats())
 
+    async def get_metrics(request: web.Request) -> web.Response:
+        """Prometheus exposition of the same counters `/tts/stats` serves
+        as JSON. Scrapers rarely carry JWTs, so `TTS_METRICS_PUBLIC=1`
+        (typically paired with a loopback/VPC bind) lifts auth for this
+        one read-only route; default requires the usual token."""
+        if os.environ.get("TTS_METRICS_PUBLIC", "").lower() not in (
+            "1", "true", "yes",
+        ):
+            _require_user(request)
+        manager: TTSServiceManager = request.app["service_manager"]
+        from ..utils.prometheus import render_prometheus
+
+        return web.Response(
+            text=render_prometheus(manager.stats()),
+            content_type="text/plain",
+            charset="utf-8",
+        )
+
     async def tts_stream(request: web.Request) -> web.StreamResponse:
         """Chunked streaming synthesis: long text is segmented, each segment
         synthesized in scheduler order, and PCM streamed as it completes
@@ -553,6 +571,7 @@ def create_app(
     app.router.add_get(f"{prefix}/tts/voices", get_voices)
     app.router.add_get(f"{prefix}/tts/info", get_info)
     app.router.add_get(f"{prefix}/tts/stats", get_stats)
+    app.router.add_get("/metrics", get_metrics)
     if is_dev_mode():
         logger.info("dev mode enabled; adding dev endpoints")
         add_dev_routes(app, prefix)

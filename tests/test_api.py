@@ -236,6 +236,33 @@ async def test_stream_endpoint():
         assert len(data) > 44
 
 
+async def test_metrics_endpoint():
+    """GET /metrics: Prometheus exposition of the serving counters.
+    Auth-gated by default; TTS_METRICS_PUBLIC=1 lifts it for scrapers."""
+    import os
+
+    async with client_ctx() as client:
+        os.environ.pop("TTS_METRICS_PUBLIC", None)
+        resp = await client.get("/metrics")
+        assert resp.status == 401
+        await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        resp = await client.get("/metrics", headers=auth_headers())
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        body = await resp.text()
+        assert "# TYPE tts_tasks_submitted_total counter" in body
+        assert "tts_tasks_completed_total 1" in body.splitlines()
+        # public mode: no token needed
+        os.environ["TTS_METRICS_PUBLIC"] = "1"
+        try:
+            resp = await client.get("/metrics")
+            assert resp.status == 200
+        finally:
+            os.environ.pop("TTS_METRICS_PUBLIC", None)
+
+
 async def test_stats_endpoint():
     async with client_ctx() as client:
         await client.post(

@@ -154,3 +154,50 @@ def test_mel_numpy_matches_jax():
     m_jx = np.asarray(log_mel(jnp.asarray(a)[None]))[0]
     f = min(m_np.shape[1], m_jx.shape[1])
     assert float(np.abs(m_np[:, :f] - m_jx[:, :f]).max()) < 0.02
+
+
+def test_prometheus_render():
+    """Exposition format: counters get _total names and TYPE lines, labels
+    are escaped, floats/ints render per the text format."""
+    from illufly_tts_tpu.utils.prometheus import render_prometheus
+
+    stats = {
+        "submitted": 5, "completed": 4, "failed": 1, "canceled": 0,
+        "batches": 2, "audio_seconds": 12.5, "batch_seconds": 0.25,
+        "throughput_x_realtime": 50.0, "pending": 3,
+        "cache": {
+            "text_hits": 7, "text_misses": 3, "text_hit_rate": 0.7,
+            "voice_hits": 1, "voice_misses": 0, "voice_hit_rate": 1.0,
+        },
+        "stage_timers": {
+            'front"end': {"ewma_s": 0.01, "count": 9, "total_s": 0.09},
+        },
+    }
+    text = render_prometheus(stats)
+    lines = text.splitlines()
+    assert "tts_tasks_submitted_total 5" in lines
+    assert "# TYPE tts_tasks_submitted_total counter" in lines
+    assert "tts_audio_seconds_total 12.5" in lines
+    assert "tts_pending_tasks 3" in lines
+    assert "# TYPE tts_pending_tasks gauge" in lines
+    assert 'tts_cache_hits_total{kind="text"} 7' in lines
+    assert 'tts_cache_hit_rate{kind="voice"} 1' in lines
+    # label value escaping (the stage name carries a quote)
+    assert 'tts_stage_invocations_total{stage="front\\"end"} 9' in lines
+    assert text.endswith("\n")
+    # every sample line parses as  name{...} value  with a float value
+    for ln in lines:
+        if ln.startswith("#"):
+            continue
+        name, _, value = ln.rpartition(" ")
+        assert name and float(value) == float(value)
+
+
+def test_prometheus_render_partial_stats():
+    """Missing sections (no cache layer, no timers yet) render cleanly."""
+    from illufly_tts_tpu.utils.prometheus import render_prometheus
+
+    text = render_prometheus({"submitted": 0, "pending": 0})
+    assert "tts_tasks_submitted_total 0" in text
+    assert "tts_cache" not in text
+    assert "tts_stage" not in text
