@@ -131,7 +131,8 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
 
 @cli.command()
 @click.argument("text")
-@click.option("--output", "-o", default="output.wav", help="output wav path")
+@click.option("--output", "-o", default="output.wav",
+              help="output path (.wav, or .flac for lossless FLAC)")
 @click.option("--voice-id", default="zf_001", help="voice id")
 @click.option("--speed", default=1.0, type=float, help="speech speed")
 @click.option("--repo-id", default="", help="model params path")
@@ -179,7 +180,7 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
 
         import numpy as np
 
-        from .audio.wav import save_wav
+        from .audio.wav import save_audio
 
         chunks = []
         t0 = _time.perf_counter()
@@ -210,7 +211,7 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         audio = np.concatenate(chunks) if chunks else np.zeros(
             0, np.float32
         )
-        save_wav(output, audio, pipe.sample_rate)
+        save_audio(output, audio, pipe.sample_rate)
     elif timestamps:
         import json as _json
 

@@ -19,6 +19,7 @@ import tempfile
 import time
 from typing import Any, Dict, Optional
 
+import numpy as np
 from aiohttp import web
 
 from ..audio.wav import encode_wav
@@ -516,18 +517,19 @@ def create_app(
         surface). Body: ``{model, input, voice, response_format, speed}``
         (+ ``pitch``, an extension). Returns raw audio bytes — WAV
         (PCM16 @24k) by default, ``response_format: "pcm"`` for headerless
-        little-endian int16. The ``model`` field is accepted and ignored
-        (one model is served); OpenAI's stock voice names map to the
-        default voice when not present as packs."""
+        little-endian int16, ``response_format: "flac"`` for lossless
+        FLAC (native encoder, audio/flac.py). The ``model`` field is
+        accepted and ignored (one model is served); OpenAI's stock voice
+        names map to the default voice when not present as packs."""
         user = _require_user(request)
         body = await _json_object(request)
         text = body.get("input")
         if not text or not isinstance(text, str):
             raise web.HTTPBadRequest(reason="missing 'input'")
         fmt = body.get("response_format", "wav")
-        if fmt not in ("wav", "pcm"):
+        if fmt not in ("wav", "pcm", "flac"):
             raise web.HTTPBadRequest(
-                reason=f"unsupported response_format {fmt!r}; use wav|pcm"
+                reason=f"unsupported response_format {fmt!r}; use wav|pcm|flac"
             )
         manager: TTSServiceManager = request.app["service_manager"]
         voice = body.get("voice", "zf_001")
@@ -563,6 +565,14 @@ def create_app(
             # strip the 44-byte canonical header this server writes
             return web.Response(body=wav[44:],
                                 content_type="audio/pcm")
+        if fmt == "flac":
+            from ..audio.flac import encode_flac
+
+            pcm = np.frombuffer(wav[44:], dtype="<i2")
+            flac_bytes = await asyncio.to_thread(
+                encode_flac, pcm, result.get("sample_rate", 24000)
+            )
+            return web.Response(body=flac_bytes, content_type="audio/flac")
         return web.Response(body=wav, content_type="audio/wav")
 
     app.router.add_post(f"{prefix}/tts", text_to_speech)

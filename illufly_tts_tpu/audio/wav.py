@@ -38,6 +38,27 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
         f.write(encode_wav(audio, sample_rate))
 
 
+def save_audio(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
+    """Write audio by output extension: ``.flac`` -> lossless FLAC
+    (audio/flac.py), anything else -> 16-bit PCM WAV. Float input is
+    peak-normalized/quantized identically on both paths (the FLAC file
+    holds exactly the samples the WAV would)."""
+    if path.lower().endswith(".flac"):
+        from .flac import encode_flac
+
+        audio = np.asarray(audio)
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+            peak = np.max(np.abs(audio)) if audio.size else 0.0
+            if peak > 1.0:
+                audio = audio / peak
+            audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        with open(path, "wb") as f:
+            f.write(encode_flac(audio, sample_rate))
+        return
+    save_wav(path, audio, sample_rate)
+
+
 def encode_wav_mulaw(mulaw: np.ndarray, sample_rate: int = 8000) -> bytes:
     """uint8 G.711 mu-law bytes -> WAV (format 7). The stdlib ``wave``
     module only writes format 1 (PCM), so the RIFF header is hand-rolled;

@@ -23,7 +23,7 @@ from typing import Dict, Generator, List, Optional, Sequence
 
 import numpy as np
 
-from .audio.wav import save_wav
+from .audio.wav import save_audio
 from .engine.synthesizer import MAX_PHONEMES, Synthesizer
 from .frontend.g2p.chinese_g2p import ChineseG2P
 from .frontend.g2p.en_g2p import EnglishG2P
@@ -347,7 +347,7 @@ class TTSPipeline:
                                                 pitch=pitch)
         if output_path:
             os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-            save_wav(output_path, audio, self.sample_rate)
+            save_audio(output_path, audio, self.sample_rate)
         return audio
 
     def process_with_timestamps(
@@ -379,7 +379,7 @@ class TTSPipeline:
         words = self._word_timestamps(normalized, ipa, fitted, handle.t_bucket)
         if output_path:
             os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
-            save_wav(output_path, audio, self.sample_rate)
+            save_audio(output_path, audio, self.sample_rate)
         return audio, words
 
     def _word_timestamps(self, normalized: str, ipa: str, fitted, t_bucket):

@@ -693,6 +693,24 @@ async def test_openai_compatible_speech_endpoint():
 
         resp = await client.post(
             "/v1/audio/speech",
+            json={"input": "你好", "response_format": "flac"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "audio/flac"
+        flac_bytes = await resp.read()
+        assert flac_bytes[:4] == b"fLaC"
+        from illufly_tts_tpu.audio.flac import decode_flac
+
+        import numpy as np
+
+        dec, sr = decode_flac(flac_bytes)
+        assert sr == 24000
+        # lossless: exactly the PCM the wav response carries
+        assert np.array_equal(dec, np.frombuffer(wav[44:], "<i2"))
+
+        resp = await client.post(
+            "/v1/audio/speech",
             json={"input": "你好", "response_format": "mp3"},
             headers=auth_headers(),
         )
