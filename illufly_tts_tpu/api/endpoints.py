@@ -114,6 +114,7 @@ async def _process_tts_request(
     output_format: str = "f32",
     return_timestamps: bool = False,
     pitch: float = 1.0,
+    wire_encode: str = "wav",
 ) -> Dict[str, Any]:
     task_id = await manager.submit_task(
         text=text, voice_id=voice_id, speed=speed, user_id=user_id,
@@ -168,14 +169,31 @@ async def _process_tts_request(
         from ..audio.wav import encode_wav_mulaw
 
         wav_bytes = encode_wav_mulaw(task.audio_chunks[0], rate)
+        wire_fmt = "mulaw"
+    elif wire_encode == "flac":
+        # lossless FLAC body in the same JSON envelope: roughly half the
+        # base64 payload of the WAV for speech, bit-identical samples
+        from ..audio.flac import encode_flac
+
+        audio = np.asarray(task.audio_chunks[0])
+        if audio.dtype != np.int16:
+            audio = audio.astype(np.float32)
+            peak = np.max(np.abs(audio)) if audio.size else 0.0
+            if peak > 1.0:
+                audio = audio / peak
+            # same clip+truncate quantization as encode_wav
+            audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+        wav_bytes = await asyncio.to_thread(encode_flac, audio, rate)
+        wire_fmt = "flac"
     else:
         wav_bytes = encode_wav(task.audio_chunks[0], rate)
+        wire_fmt = "pcm16"
     out = {
         "status": "success",
         "task_id": task_id,
         "audio_base64": base64.b64encode(wav_bytes).decode("ascii"),
         "sample_rate": rate,
-        "format": "mulaw" if task.output_format == "mulaw8k" else "pcm16",
+        "format": wire_fmt,
         "created_at": status["created_at"],
         "completed_at": status["completed_at"],
     }
@@ -289,13 +307,16 @@ def create_app(
         speed = _parse_speed(body)
         sequence_id = body.get("sequence_id")
         cancel_pending = bool(body.get("cancel_pending", False))
-        # 'wav' (24 kHz 16-bit PCM, default) or 'mulaw8k' (G.711 @8 kHz,
-        # telephony: 6x smaller payloads, same WAV container, format 7)
+        # 'wav' (24 kHz 16-bit PCM, default), 'mulaw8k' (G.711 @8 kHz,
+        # telephony: 6x smaller payloads, same WAV container, format 7),
+        # or 'flac' (lossless, ~half the WAV payload in the same JSON
+        # envelope; audio/flac.py)
         fmt_req = body.get("format", "wav")
-        fmt_map = {"wav": "f32", "pcm16": "f32", "mulaw8k": "mulaw8k"}
+        fmt_map = {"wav": "f32", "pcm16": "f32", "mulaw8k": "mulaw8k",
+                   "flac": "f32"}
         if fmt_req not in fmt_map:
             raise web.HTTPBadRequest(
-                reason=f"unknown format {fmt_req!r}; use wav|mulaw8k"
+                reason=f"unknown format {fmt_req!r}; use wav|mulaw8k|flac"
             )
         output_format = fmt_map[fmt_req]
 
@@ -310,6 +331,7 @@ def create_app(
                 output_format,
                 return_timestamps=bool(body.get("return_timestamps", False)),
                 pitch=_parse_pitch(body),
+                wire_encode="flac" if fmt_req == "flac" else "wav",
             )
         except ValueError as exc:
             # submit-time capability rejections (e.g. return_timestamps on

@@ -358,6 +358,36 @@ async def test_tts_mulaw8k_format():
         np.testing.assert_allclose(audio, 0.0, atol=1e-4)
 
 
+async def test_tts_flac_format():
+    """format=flac returns a lossless FLAC body in the JSON envelope —
+    bit-identical samples to what format=wav would carry."""
+    from illufly_tts_tpu.audio.flac import decode_flac
+
+    async with client_ctx() as client:
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "format": "wav"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        wav = base64.b64decode((await resp.json())["audio_base64"])
+
+        resp = await client.post(
+            "/api/tts",
+            json={"text": "你好", "format": "flac"},
+            headers=auth_headers(),
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["status"] == "success"
+        assert data["format"] == "flac"
+        flac_bytes = base64.b64decode(data["audio_base64"])
+        assert flac_bytes[:4] == b"fLaC"
+        dec, rate = decode_flac(flac_bytes)
+        assert rate == data["sample_rate"]
+        assert np.array_equal(dec, np.frombuffer(wav[44:], "<i2"))
+
+
 async def test_tts_unknown_format_rejected():
     async with client_ctx() as client:
         resp = await client.post(
