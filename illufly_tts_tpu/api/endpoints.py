@@ -310,10 +310,13 @@ def create_app(
         # 'wav' (24 kHz 16-bit PCM, default), 'mulaw8k' (G.711 @8 kHz,
         # telephony: 6x smaller payloads, same WAV container, format 7),
         # or 'flac' (lossless, ~half the WAV payload in the same JSON
-        # envelope; audio/flac.py)
+        # envelope; audio/flac.py). PCM responses are 16-bit WAVs either
+        # way, so the device quantizes on-chip ('pcm16': same peak policy
+        # as encode_wav) — half the device->host transfer of f32 and no
+        # host-side quantization pass
         fmt_req = body.get("format", "wav")
-        fmt_map = {"wav": "f32", "pcm16": "f32", "mulaw8k": "mulaw8k",
-                   "flac": "f32"}
+        fmt_map = {"wav": "pcm16", "pcm16": "pcm16", "mulaw8k": "mulaw8k",
+                   "flac": "pcm16"}
         if fmt_req not in fmt_map:
             raise web.HTTPBadRequest(
                 reason=f"unknown format {fmt_req!r}; use wav|mulaw8k|flac"
@@ -571,6 +574,8 @@ def create_app(
             # cancel_user_pending_tasks treat these like /tts traffic
             result = await _process_tts_request(
                 manager, text, voice, user.get("user_id"), None, speed,
+                output_format="pcm16",  # on-device quantization, half the
+                # device->host transfer (responses are 16-bit anyway)
                 pitch=_parse_pitch(body),
             )
         except ValueError as exc:

@@ -270,6 +270,26 @@ class TTSServiceManager:
             )
         return cache[wants_timestamps]
 
+    def _bpt_accepts_format(self) -> bool:
+        """Whether the pipeline's ``batch_process_texts`` takes an
+        ``output_format`` argument (duck-typed pipelines may not; the
+        pcm16 fast path then degrades to the legacy f32 call). Cached —
+        signature inspection is per-batch hot-loop work otherwise."""
+        cached = getattr(self, "_bpt_fmt_ok", None)
+        if cached is None:
+            import inspect
+
+            fn = getattr(self.pipeline, "batch_process_texts", None)
+            try:
+                params = inspect.signature(fn).parameters
+                cached = "output_format" in params or any(
+                    p.kind == p.VAR_KEYWORD for p in params.values()
+                )
+            except (TypeError, ValueError):
+                cached = True  # uninspectable (C callable): assume full
+            self._bpt_fmt_ok = cached
+        return cached
+
     def _inspect_pitch_support(self, wants_timestamps: bool) -> bool:
         import inspect
 
@@ -483,9 +503,15 @@ class TTSServiceManager:
                 for task, ts in zip(batch, stamps):
                     if task.want_timestamps:
                         task.timestamps = ts
-            elif fmt == "f32":
-                # default format goes through the legacy 3-arg call so
-                # duck-typed pipelines (an extension point) keep working
+            elif fmt == "f32" or (
+                fmt == "pcm16" and not self._bpt_accepts_format()
+            ):
+                # f32 goes through the legacy 3-arg call so duck-typed
+                # pipelines (an extension point) keep working; pcm16 also
+                # downgrades to it when the pipeline's
+                # batch_process_texts takes no output_format — the f32
+                # audio encodes to the same 16-bit WAV on the response
+                # path, only the on-device quantization saving is lost
                 audios = await asyncio.to_thread(
                     partial(self.pipeline.batch_process_texts, texts,
                             voices, speeds, **pitch_kw)

@@ -358,6 +358,46 @@ async def test_tts_mulaw8k_format():
         np.testing.assert_allclose(audio, 0.0, atol=1e-4)
 
 
+async def test_tts_wav_requests_on_device_pcm16():
+    """format=wav submits output_format=pcm16 to a capable pipeline (the
+    device quantizes; responses are 16-bit WAV anyway — f32 transfer is
+    pure waste), while duck pipelines without the parameter keep the
+    legacy 3-arg call (test_duck_pipeline_without_output_rate)."""
+    seen = []
+
+    class SpyPipeline(FakePipeline):
+        def batch_process_texts(self, texts, voice_ids, speeds=None,
+                                output_format="f32"):
+            seen.append(output_format)
+            return super().batch_process_texts(
+                texts, voice_ids, speeds, output_format
+            )
+
+    import os
+
+    os.makedirs("/tmp/tts_api_test", exist_ok=True)
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    app = create_app(
+        output_dir="/tmp/tts_api_test", pipeline=SpyPipeline(),
+        max_wait_time=0.02,
+    )
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        resp = await client.post(
+            "/api/tts", json={"text": "你好"}, headers=auth_headers()
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        assert data["format"] == "pcm16"
+        wav = base64.b64decode(data["audio_base64"])
+        assert wav[:4] == b"RIFF"
+    finally:
+        await client.close()
+    assert seen == ["pcm16"]
+
+
 async def test_tts_flac_format():
     """format=flac returns a lossless FLAC body in the JSON envelope —
     bit-identical samples to what format=wav would carry."""
