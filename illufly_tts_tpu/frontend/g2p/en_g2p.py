@@ -403,6 +403,14 @@ class EnglishG2P:
         ("ly", "li"),
     ]
 
+    # function words never act as morphological stems ("shed" is not
+    # she+d, "toed" is not to+ed); content homographs stay usable because
+    # the whole word is looked up in the lexicon before _derive runs
+    _STOP_STEMS = frozenset(
+        "a an the to in on by of at or as is be do no so us up it he she "
+        "we me i am".split()
+    )
+
     def _derive(self, lower: str, depth: int = 0) -> Optional[str]:
         """Recursive morphological lookup: inflections, productive
         prefixes/suffixes, and closed compounds, all resolved against the
@@ -414,6 +422,8 @@ class EnglishG2P:
             return None
 
         def stem(s: str) -> Optional[str]:
+            if len(s) < 3 or s in self._STOP_STEMS:
+                return None
             return self._derive(s, depth + 1)
 
         if lower.endswith("'s"):
@@ -435,10 +445,11 @@ class EnglishG2P:
             if ps:
                 return _append_past(ps)
         if lower.endswith("ed"):
-            ps = stem(lower[:-2]) or stem(lower[:-1]) or (
+            # e-restoring stem first: hated = hate+d, not hat+ed
+            ps = stem(lower[:-1]) or (
                 stem(lower[:-3]) if len(lower) > 4
                 and lower[-3] == lower[-4] else None  # doubled: stopped
-            )
+            ) or stem(lower[:-2])
             if ps:
                 return _append_past(ps)
         if lower.endswith("ing"):
@@ -448,17 +459,41 @@ class EnglishG2P:
             )
             if ps:
                 return ps + "ɪŋ"
+        if lower.endswith("ier") and len(lower) > 4:  # comparative: happier
+            ps = stem(lower[:-3] + "y")
+            if ps:
+                return ps + "ɚ"
+        if lower.endswith("iest") and len(lower) > 5:  # superlative
+            ps = stem(lower[:-4] + "y")
+            if ps:
+                return ps + "əst"
         if lower.endswith("er"):
-            ps = stem(lower[:-2]) or stem(lower[:-2] + "e") or (
+            ps = (
                 stem(lower[:-3]) if len(lower) > 4
                 and lower[-3] == lower[-4] else None  # doubled: runner
-            )
+            ) or stem(lower[:-2] + "e") or stem(lower[:-2])
             if ps:
                 return ps + "ɚ"
         if lower.endswith("able"):
             ps = stem(lower[:-4]) or stem(lower[:-4] + "e")
             if ps:
                 return ps + "əbəl"
+        if lower.endswith("ize") or lower.endswith("ise"):
+            # verbal -ize carries secondary stress (gold: ...ˌIz)
+            ps = stem(lower[:-3]) or stem(lower[:-3] + "e") or \
+                stem(lower[:-3] + "y")
+            if ps:
+                return apply_stress(ps, 1) + "ˌaɪz"
+        if lower.endswith("ism"):
+            ps = stem(lower[:-3]) or stem(lower[:-3] + "e") or \
+                stem(lower[:-3] + "y")
+            if ps:
+                return ps + "ˌɪzəm"
+        if lower.endswith("ist"):
+            ps = stem(lower[:-3]) or stem(lower[:-3] + "e") or \
+                stem(lower[:-3] + "y")
+            if ps:
+                return ps + "ɪst"
         if lower.endswith("y") and len(lower) > 3:
             ps = stem(lower[:-1]) or (
                 stem(lower[:-2]) if lower[-2] == lower[-3] else None
@@ -476,6 +511,20 @@ class EnglishG2P:
                     base = base[:-3]
                 return base + "ˈeɪʃən"
         for suffix, suffix_ipa in self._SUFFIXES:
+            if lower.endswith(suffix) and len(lower) - len(suffix) >= 3:
+                ps = stem(lower[: -len(suffix)])
+                if ps:
+                    # degemination at the boundary: legal+ly -> lˈiɡəli,
+                    # open+ness -> ˈoʊpənəs (gold never doubles these)
+                    if ps.endswith(suffix_ipa[0]) and suffix_ipa[0] in "ln":
+                        return ps + suffix_ipa[1:]
+                    return ps + suffix_ipa
+        # compound second elements that reduce their vowel (gold:
+        # bellman -> bˈɛlmən, Oakland -> ˈOklənd)
+        for suffix, suffix_ipa in (
+            ("woman", "wˌʊmən"), ("women", "wˌɪmən"), ("man", "mən"),
+            ("men", "mən"), ("land", "lənd"),
+        ):
             if lower.endswith(suffix) and len(lower) - len(suffix) >= 3:
                 ps = stem(lower[: -len(suffix)])
                 if ps:
@@ -512,22 +561,84 @@ class EnglishG2P:
             if lower == "z" and self.british:
                 return "zˈɛd"
             return self._accent(name, lower)
+        # hyphenated compounds / possessives: phonemize each piece
+        # (gold: sit-down -> sˈɪtdˌWn, king-sized -> kˈɪŋsˌIzd)
+        if lower.endswith("'s") and len(lower) > 3:
+            return _append_plural(self.word_to_ipa(word[:-2]))
+        if not lower.isalpha():
+            segments = re.findall(r"[A-Za-z]+(?:'[A-Za-z]+)?", word)
+            if len(segments) > 1 or (segments and segments[0] != word):
+                parts = [self.word_to_ipa(seg) for seg in segments]
+                parts = [p for p in parts if p and p != self.unk]
+                if not parts:
+                    return self.unk
+                # first element keeps primary stress, the rest demote
+                return parts[0] + "".join(
+                    apply_stress(p, -1) for p in parts[1:]
+                )
+            if not segments:
+                return self.unk
         # morphology / affixes / compounds against the lexicon
         derived = self._derive(lower)
         if derived is not None:
             return self._accent(derived, lower)
-        # letter-to-sound fallback, stress-marked like lexicon entries:
-        # the trained joint-trigram model (lts_model.py, 87-88% phoneme
-        # accuracy held-out) first, hand rules as the backstop
-        if lower.isalpha():
-            from .lts_model import get_model
+        return self._accent(self._oov(lower), lower)
 
-            model = get_model()
-            if model is not None:
-                pred = model.predict(lower)
-                if pred:
-                    return self._accent(_stress_lts(lower, pred), lower)
-        return self._accent(_stress_lts(lower, _lts(lower)), lower)
+    # inflectional endings strippable before letter-to-sound: the LTS model
+    # is trained on base forms, so "galvanized" decodes as galvanize + d
+    # (the reference gets this via its stem rules, english_g2p.py:300-378)
+    _LTS_STRIP = (
+        ("ies", lambda ps: _append_plural(ps[:-1] + "i")
+         if ps.endswith("i") else _append_plural(ps + "i")),
+        ("'s", _append_plural), ("s", _append_plural),
+        ("ed", _append_past), ("ing", lambda ps: ps + "ɪŋ"),
+        ("ly", lambda ps: ps + ("i" if ps.endswith("l") else "li")),
+        ("ness", lambda ps: ps + ("əs" if ps.endswith("n") else "nəs")),
+    )
+
+    def _lts_word(self, lower: str) -> str:
+        """Single-word letter-to-sound: trained joint model first (with a
+        phonotactic sanity gate inside predict), hand rules as backstop."""
+        from .lts_model import get_model
+
+        model = get_model()
+        if model is not None:
+            pred = model.predict(lower)
+            if pred:
+                return _stress_lts(lower, pred)
+        return _stress_lts(lower, _lts(lower))
+
+    def _oov(self, lower: str) -> str:
+        """Letter-to-sound with inflection stripping."""
+        for ending, attach in self._LTS_STRIP:
+            if not lower.endswith(ending):
+                continue
+            stem = lower[: -len(ending)]
+            if ending == "ies":
+                stem = stem  # handled in attach (cities = city+s)
+            if len(stem) < 3:
+                continue
+            if ending == "s" and stem.endswith("s"):
+                continue
+            # e-restoring and degemination variants for -ed/-ing
+            candidates = [stem]
+            if ending in ("ed", "ing"):
+                if stem and stem[-1] not in "aeiouy":
+                    # e-restored form is the more word-like LTS input
+                    # (galvaniz-ed -> galvanize), so it goes first
+                    candidates.insert(0, stem + "e")
+                if len(stem) > 2 and stem[-1] == stem[-2]:
+                    candidates.append(stem[:-1])
+            for cand in candidates:
+                ps = LEXICON.get(cand)
+                if ps:
+                    return attach(ps)
+            for cand in candidates:
+                if cand.isalpha():
+                    ps = self._lts_word(cand)
+                    if ps:
+                        return attach(ps)
+        return self._lts_word(lower)
 
     # --- tokenization with markdown-link features ---------------------------
 

@@ -37,21 +37,43 @@ _MISS = object()  # memo sentinel (None is a valid cached prediction)
 
 # multi-character IPA symbols treated as single phonemes
 _MULTI = ["tʃ", "dʒ", "eɪ", "aɪ", "ɔɪ", "oʊ", "aʊ"]
+_STRESS = ("ˈ", "ˌ")
 
 
 def split_phonemes(ipa: str) -> List[str]:
-    """Split an IPA string (stress marks removed) into phoneme symbols."""
+    """Split an IPA string into phoneme symbols. Stress marks attach to
+    the phoneme that follows them ("ˈæ" is one token), so the joint model
+    learns stress placement together with vowel identity."""
     out: List[str] = []
     i = 0
+    pending = ""
     while i < len(ipa):
+        if ipa[i] in _STRESS:
+            pending = ipa[i]
+            i += 1
+            continue
         pair = ipa[i:i + 2]
         if pair in _MULTI:
-            out.append(pair)
+            out.append(pending + pair)
             i += 2
         else:
-            out.append(ipa[i])
+            out.append(pending + ipa[i])
             i += 1
+        pending = ""
     return out
+
+
+def strip_stress(sym: str) -> str:
+    return sym.lstrip("ˈˌ")
+
+
+# doubled consonant LETTERS spell one sound (buzz, tariff, occurred);
+# cc/gg excluded (accept = ks, suggest = gdʒ); vowel digraphs kept
+_DOUBLE_RE = __import__("re").compile(r"([bdfklmnprstvz])\1")
+
+
+def dedouble(word: str) -> str:
+    return _DOUBLE_RE.sub(r"\1", word)
 
 
 # letter -> plausible phoneme symbols (the alignment prior)
@@ -84,7 +106,7 @@ def _seed_score(g: str, phones: Tuple[str, ...]) -> float:
         # r-colored vowels for vowel+r spellings
         if c in "aeiou":
             allowed.update(["ɚ", "ɝ"])
-    bad = sum(1 for p in phones if p not in allowed)
+    bad = sum(1 for p in phones if strip_stress(p) not in allowed)
     # x -> two symbols (ks) is normal; generally prefer 1 symbol/chunk
     return -0.7 * len(phones) - 7.0 * bad
 
@@ -171,11 +193,11 @@ def train(entries: Dict[str, str], iters: int = 3) -> Dict:
     data: List[Tuple[str, List[str]]] = []
     seen = set()
     for word, ipa in entries.items():
-        word = word.lower()
+        word = dedouble(word.lower())
         if not word.isalpha() or word in seen:
             continue
         seen.add(word)
-        phones = split_phonemes(ipa.replace("ˈ", "").replace("ˌ", ""))
+        phones = split_phonemes(ipa)
         if 0 < len(phones) <= len(word) * 2:
             data.append((word, phones))
     aligner = _Aligner()
@@ -253,16 +275,49 @@ class LTSModel:
             p += 0.8 * tr.get(t, 0) / self._tri_tot[f"{prev2}|{prev}"]
         return math.log(p)
 
+    _VOWEL_CHARS = frozenset("aeiouæɑɒɔəɚɛɝɪʊʌ")
+
+    def _sane(self, word: str, ipa: Optional[str]) -> Optional[str]:
+        """Phonotactic sanity gate (round-3 verdict: the decoder emitted
+        degenerate strings like bˈʌzz and znˈi). Reject predictions whose
+        vowel count can't cover the spelled syllables or that repeat a
+        phoneme symbol back-to-back; the caller then falls back to the
+        hand rules."""
+        if not ipa:
+            return None
+        phones = split_phonemes(ipa)
+        n_vowels = sum(
+            1 for p in phones if strip_stress(p)[:1] in self._VOWEL_CHARS
+        )
+        if n_vowels == 0:
+            return None
+        for a, b in zip(phones, phones[1:]):
+            if strip_stress(a) == strip_stress(b):
+                return None
+        # spelled vowel groups (final consonant+e may be silent)
+        spelled = word
+        if len(spelled) > 2 and spelled.endswith("e") \
+                and spelled[-2] not in "aeiou":
+            spelled = spelled[:-1]
+        groups = len(
+            __import__("re").findall(r"[aeiouy]+", spelled)
+        ) or 1
+        if n_vowels < groups - 1:
+            return None
+        return ipa
+
     def predict(self, word: str, beam: int = 8) -> Optional[str]:
         """Beam Viterbi over (position, prev-pair, pair) states.
-        Memoized (LRU, 50k entries)."""
+        Doubled consonant letters are collapsed first (they spell one
+        sound). Memoized (LRU, 50k entries)."""
+        word = dedouble(word)
         key = (word, beam)
         with self._memo_lock:
             hit = self._memo.get(key, _MISS)
             if hit is not _MISS:
                 self._memo.move_to_end(key)
                 return hit
-        out = self._predict(word, beam)
+        out = self._sane(word, self._predict(word, beam))
         with self._memo_lock:
             self._memo[key] = out
             if len(self._memo) > self._memo_cap:

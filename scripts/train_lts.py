@@ -37,9 +37,12 @@ def load(path, table):
 
 
 def main():
+    # Train on the hand-authored core only: en_derived.tsv is generated
+    # regular morphology (inflections are now stripped before LTS decode,
+    # en_g2p._oov), and its synthetic non-words would teach wrong patterns
+    # (e.g. "ablely" -> -lli).
     entries = {}
-    load(os.path.join(DATA, "en_derived.tsv"), entries)
-    load(os.path.join(DATA, "en_core.tsv"), entries)  # hand entries win
+    load(os.path.join(DATA, "en_core.tsv"), entries)
     t0 = time.time()
     model = train(entries)
     out = os.path.join(DATA, "lts_model.json")
