@@ -88,6 +88,12 @@ def _in_word_set(word: str, word_set: frozenset) -> bool:
 # Irreducibly lexical GB forms (authored; same role as entries that exist
 # only in the reference's gb_gold.json). Keys are lowercase spellings.
 GB_EXCEPTIONS: Dict[str, str] = {
+    # GB drops the /l/ of palm-class words that US gold spells out
+    "palm": "pˈɑːm",
+    "calm": "kˈɑːm",
+    "balm": "bˈɑːm",
+    "psalm": "sˈɑːm",
+    "almond": "ˈɑːmənd",
     "schedule": "ʃˈɛdjuːl",
     "schedules": "ʃˈɛdjuːlz",
     "scheduled": "ʃˈɛdjuːld",

@@ -304,6 +304,12 @@ class LTSModel:
         ) or 1
         if n_vowels < groups - 1:
             return None
+        # r and v letters are never silent in English: a decode that
+        # dropped them (blorpferd -> blʌpfd) is degenerate
+        if "r" in word and not any(c in ipa for c in "ɹɚɝ"):
+            return None
+        if "v" in word and "v" not in ipa:
+            return None
         return ipa
 
     def predict(self, word: str, beam: int = 8) -> Optional[str]:

@@ -77,9 +77,9 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     s = re.sub(r"([ˈˌ])([^" + _VOWELS + r"ˈˌ]+)", r"\2\1", s)
     # gold glide-insertion: /u/ before another vowel is written əw
     # (fluctuating -> flˈʌkʧəwˌAɾɪŋ); normalize our plain u the same way
-    s = re.sub(r"u(?=[ˈˌ]?[" + _VOWELS + r"])", "əw", s)
+    s = re.sub(r"[uʊ](?=[ˈˌ]?[" + _VOWELS + r"])", "əw", s)
     if reduce:
-        s = re.sub(r"(?<!ˈ)[ɛʌʊ]", "ə", s)
+        s = re.sub(r"(?<!ˈ)[ɛʌʊæ]", "ə", s)
         s = re.sub(r"(?<!ˈ)ɪ(?!ŋ)", "ə", s)
         s = re.sub(r"(?<!ˈ)i(?![ˈˌ" + _VOWELS + r"]|$)", "ə", s)
     if not keep_stress:
@@ -91,6 +91,8 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     # post-nasal affrication: gold writes attention as ətˈɛnʧən; nʃ and
     # nʧ are the same articulation here
     s = s.replace("nʧ", "nʃ")
+    # gold writes wh- words with hw inconsistently (hwˈIl vs wˈɪp)
+    s = s.replace("hw", "w")
     # epenthetic stops (strength stɹɛŋ(k)θ, hamster hæm(p)stəɹ) and the
     # gold schwa-glide before dark l (seal sˈiᵊl, diamond dˈIəmənd)
     s = s.replace("ŋkθ", "ŋθ").replace("mpst", "mst")
