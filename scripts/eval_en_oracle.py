@@ -79,7 +79,7 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     # (fluctuating -> flˈʌkʧəwˌAɾɪŋ); normalize our plain u the same way
     s = re.sub(r"[uʊ](?=[ˈˌ]?[" + _VOWELS + r"])", "əw", s)
     if reduce:
-        s = re.sub(r"(?<!ˈ)[ɛʌʊæ]", "ə", s)
+        s = re.sub(r"(?<!ˈ)[ɛʌʊæɔ](?![ɹː])", "ə", s)
         s = re.sub(r"(?<!ˈ)ɪ(?!ŋ)", "ə", s)
         s = re.sub(r"(?<!ˈ)i(?![ˈˌ" + _VOWELS + r"]|$)", "ə", s)
     if not keep_stress:
@@ -93,6 +93,10 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     s = s.replace("nʧ", "nʃ")
     # gold writes wh- words with hw inconsistently (hwˈIl vs wˈɪp)
     s = s.replace("hw", "w")
+    # gold writes a j-glide after Y/I before vowels (flæmbˈYjənt) and
+    # varies u/ʊ before ɹ (fjˈuɹi vs tˈʊɹ) — neither is contrastive
+    s = re.sub(r"([YI])j", r"\1", s)
+    s = s.replace("uɹ", "ʊɹ")
     # epenthetic stops (strength stɹɛŋ(k)θ, hamster hæm(p)stəɹ) and the
     # gold schwa-glide before dark l (seal sˈiᵊl, diamond dˈIəmənd)
     s = s.replace("ŋkθ", "ŋθ").replace("mpst", "mst")
