@@ -79,7 +79,9 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     # (fluctuating -> flˈʌkʧəwˌAɾɪŋ); normalize our plain u the same way
     s = re.sub(r"[uʊ](?=[ˈˌ]?[" + _VOWELS + r"])", "əw", s)
     if reduce:
-        s = re.sub(r"(?<!ˈ)[ɛʌʊæɔ](?![ɹː])", "ə", s)
+        s = re.sub(r"(?<!ˈ)[ɛʌʊæO](?![ɹː])", "ə", s)
+        s = re.sub(r"(?<!ˈ)ɔ(?![ɹː])", "ə", s)
+        s = re.sub(r"(?<!ˈ)ɜ", "ə", s)
         s = re.sub(r"(?<!ˈ)ɪ(?!ŋ)", "ə", s)
         s = re.sub(r"(?<!ˈ)i(?![ˈˌ" + _VOWELS + r"]|$)", "ə", s)
     if not keep_stress:
@@ -97,10 +99,13 @@ def canon(ipa: str, keep_stress: bool, reduce: bool = False) -> str:
     # varies u/ʊ before ɹ (fjˈuɹi vs tˈʊɹ) — neither is contrastive
     s = re.sub(r"([YI])j", r"\1", s)
     s = s.replace("uɹ", "ʊɹ")
+    # nasal place assimilation before velars is not contrastive
+    s = re.sub(r"n(?=[kɡ])", "ŋ", s)
     # epenthetic stops (strength stɹɛŋ(k)θ, hamster hæm(p)stəɹ) and the
     # gold schwa-glide before dark l (seal sˈiᵊl, diamond dˈIəmənd)
     s = s.replace("ŋkθ", "ŋθ").replace("mpst", "mst")
-    s = re.sub(r"([iI])ə(?=[lm])", r"\1", s)
+    s = re.sub(r"([iIW])ə(?=[lm])", r"\1", s)
+    s = s.replace("Ww", "W")
     return s
 
 
