@@ -500,6 +500,25 @@ class EnglishG2P:
             )
             if ps:
                 return ps + "i"
+        if lower.endswith("ically") and len(lower) > 7:
+            # stratospherically = stratospheric + ally (-ᵊli)
+            ps = stem(lower[:-4])
+            if ps:
+                return ps + "əli"
+        if lower.endswith("ily") and len(lower) > 4:
+            # scratchily = scratchy + ly with the -y vowel reduced
+            ps = stem(lower[:-3] + "y")
+            if ps and ps.endswith("i"):
+                return ps[:-1] + "əli"
+        if lower.endswith("ization") and len(lower) > 8:
+            # -ization carries the primary stress: Judaization, realization
+            ps = stem(lower[:-6]) or stem(lower[:-7]) or \
+                stem(lower[:-7] + "e") or stem(lower[:-7] + "y")
+            if ps:
+                base = apply_stress(ps, -2)
+                if base.endswith("aɪz"):
+                    base = base[:-3]
+                return base + "əzˈeɪʃən"
         if lower.endswith("ation") and len(lower) > 7:
             # -ation takes primary stress itself and destresses the base:
             # migrate -> migration, install -> installation
@@ -536,13 +555,20 @@ class EnglishG2P:
                     # stem keeps primary stress; prefix carries at most
                     # the secondary marks written in its table entry
                     return prefix_ipa + ps
-        # closed compounds ("rainwater", "quarterback"): both halves must
-        # be lexicon words (no recursion — guessed halves compound badly);
-        # first element keeps primary stress, second demotes to secondary
+        # closed compounds ("rainwater", "quarterback"): the left half must
+        # be a lexicon word; the right half may itself be a derived form
+        # (winemaker = wine + maker); first element keeps primary stress,
+        # second demotes to secondary
         if depth == 0 and len(lower) >= 6:
             for i in range(3, len(lower) - 2):
-                left, right = LEXICON.get(lower[:i]), LEXICON.get(lower[i:])
-                if left and right:
+                left = LEXICON.get(lower[:i])
+                if not left:
+                    continue
+                right = LEXICON.get(lower[i:]) or (
+                    self._derive(lower[i:], depth=2)
+                    if len(lower) - i >= 4 else None
+                )
+                if right:
                     return left + apply_stress(right, -1)
         return None
 

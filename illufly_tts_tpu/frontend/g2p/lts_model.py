@@ -332,10 +332,13 @@ class LTSModel:
 
     def _predict(self, word: str, beam: int) -> Optional[str]:
         n = len(word)
-        beams: List[Dict[Tuple[str, str], Tuple[float, str]]] = [
+        # beam state: (prev2-pair, prev-pair, primary-stress-emitted) so a
+        # word decodes with EXACTLY ONE primary stress (the round-3 model
+        # emitted several: mˈɪkˈoʊ...ˈɪɹiəm)
+        beams: List[Dict[Tuple[str, str, bool], Tuple[float, str]]] = [
             {} for _ in range(n + 1)
         ]
-        beams[0][("", "^")] = (0.0, "")
+        beams[0][("", "^", False)] = (0.0, "")
         for i in range(n):
             if not beams[i]:
                 continue
@@ -350,20 +353,30 @@ class LTSModel:
                 g = word[i:i + dg]
                 for t in self.emit.get(g, []):
                     p = t.split(">", 1)[1]
-                    for (prev2, prev), (score, phon) in beams[i].items():
+                    has_primary = "ˈ" in p
+                    for (prev2, prev, stressed), (score, phon) in \
+                            beams[i].items():
+                        if has_primary and stressed:
+                            continue  # one primary per word
                         s = score + self._logp(t, prev, prev2)
-                        key = (prev, t)
+                        key = (prev, t, stressed or has_primary)
                         slot = beams[i + dg].get(key)
                         if slot is None or s > slot[0]:
                             beams[i + dg][key] = (s, phon + p)
         if not beams[n]:
             return None
-        best = None
-        for (prev2, prev), (score, phon) in beams[n].items():
+        best = best_unstressed = None
+        for (prev2, prev, stressed), (score, phon) in beams[n].items():
             s = score + self._logp("$", prev, prev2)
-            if best is None or s > best[0]:
-                best = (s, phon)
-        return best[1] if best else None
+            if stressed:
+                if best is None or s > best[0]:
+                    best = (s, phon)
+            elif best_unstressed is None or s > best_unstressed[0]:
+                best_unstressed = (s, phon)
+        # prefer a path that placed the primary stress; _stress_lts
+        # backstops the rare unstressed winner
+        chosen = best or best_unstressed
+        return chosen[1] if chosen else None
 
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")

@@ -26,7 +26,7 @@ def us():
 WORD_CASES = [
     # non-rhotic coda r with compensatory length / centring diphthongs
     ("car", "kɑː"),
-    ("nurse", "nɜːs"),
+    ("nurse", "nˈɜːs"),
     ("bird", "bɜːd"),
     ("here", "hɪə"),
     ("there", "ðɛə"),
@@ -86,7 +86,7 @@ def test_us_mode_unchanged(us):
     assert us.word_to_ipa("car") == "kɑɹ"
     assert us.word_to_ipa("hot") == "hɑt"
     assert us.word_to_ipa("dance") == "dæns"
-    assert us.word_to_ipa("schedule") == "skˈɛdʒəl"
+    assert us.word_to_ipa("schedule") == "skˈɛdʒul"
 
 
 def test_linking_r_survives(gb):
