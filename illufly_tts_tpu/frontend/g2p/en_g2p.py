@@ -610,9 +610,11 @@ class EnglishG2P:
             return self._accent(derived, lower)
         return self._accent(self._oov(lower), lower)
 
-    # inflectional endings strippable before letter-to-sound: the LTS model
-    # is trained on base forms, so "galvanized" decodes as galvanize + d
-    # (the reference gets this via its stem rules, english_g2p.py:300-378)
+    # inflectional/derivational endings strippable before letter-to-sound:
+    # the LTS model is trained on base forms, so "galvanized" decodes as
+    # galvanize + d (the reference gets this via its stem rules,
+    # english_g2p.py:300-378). Applied recursively (pseudonymously =
+    # pseudonym + ous + ly).
     _LTS_STRIP = (
         ("ies", lambda ps: _append_plural(ps[:-1] + "i")
          if ps.endswith("i") else _append_plural(ps + "i")),
@@ -620,6 +622,23 @@ class EnglishG2P:
         ("ed", _append_past), ("ing", lambda ps: ps + "ɪŋ"),
         ("ly", lambda ps: ps + ("i" if ps.endswith("l") else "li")),
         ("ness", lambda ps: ps + ("əs" if ps.endswith("n") else "nəs")),
+        ("ism", lambda ps: ps + "ˌɪzəm"),
+        ("ist", lambda ps: ps + "ɪst"),
+        ("ous", lambda ps: ps + "əs"),
+        ("ment", lambda ps: ps + "mənt"),
+        ("ful", lambda ps: ps + "fəl"),
+        ("less", lambda ps: ps + "ləs"),
+        ("able", lambda ps: ps + "əbəl"),
+        ("ize", lambda ps: apply_stress(ps, 1) + "ˌaɪz"),
+    )
+
+    # stress-bearing Latinate suffixes: the suffix takes primary stress and
+    # the base destresses (biology-class words dominate rare vocabulary)
+    _LTS_STRESS_SUFFIX = (
+        ("ological", "ˈɑdʒɪkəl"), ("ologist", "ˈɑlədʒɪst"),
+        ("ology", "ˈɑlədʒi"), ("ography", "ˈɑɡɹəfi"),
+        ("ometer", "ˈɑmətɚ"), ("ocracy", "ˈɑkɹəsi"),
+        ("ation", "ˈeɪʃən"),
     )
 
     def _lts_word(self, lower: str) -> str:
@@ -634,36 +653,63 @@ class EnglishG2P:
                 return _stress_lts(lower, pred)
         return _stress_lts(lower, _lts(lower))
 
-    def _oov(self, lower: str) -> str:
-        """Letter-to-sound with inflection stripping."""
-        for ending, attach in self._LTS_STRIP:
-            if not lower.endswith(ending):
-                continue
-            stem = lower[: -len(ending)]
-            if ending == "ies":
-                stem = stem  # handled in attach (cities = city+s)
-            if len(stem) < 3:
-                continue
-            if ending == "s" and stem.endswith("s"):
-                continue
-            # e-restoring and degemination variants for -ed/-ing
-            candidates = [stem]
-            if ending in ("ed", "ing"):
-                if stem and stem[-1] not in "aeiouy":
-                    # e-restored form is the more word-like LTS input
-                    # (galvaniz-ed -> galvanize), so it goes first
-                    candidates.insert(0, stem + "e")
-                if len(stem) > 2 and stem[-1] == stem[-2]:
-                    candidates.append(stem[:-1])
+    def _oov(self, lower: str, depth: int = 0) -> str:
+        """Letter-to-sound with recursive affix stripping."""
+        if depth < 2:
+            for suffix, suffix_ipa in self._LTS_STRESS_SUFFIX:
+                if not lower.endswith(suffix) or \
+                        len(lower) - len(suffix) < 3:
+                    continue
+                stem = lower[: -len(suffix)]
+                ps = LEXICON.get(stem) or LEXICON.get(stem + "e")
+                if ps is None and stem.isalpha():
+                    ps = self._lts_word(stem)
+                if ps:
+                    if suffix == "ation" and ps.endswith("eɪt"):
+                        ps = ps[:-3]
+                    return apply_stress(ps, -2) + suffix_ipa
+        def strip_candidates():
+            """(ending, attach, stem-candidates) for every ending that
+            matches, longest ending first."""
+            for ending, attach in sorted(
+                self._LTS_STRIP, key=lambda e: -len(e[0])
+            ):
+                if not lower.endswith(ending):
+                    continue
+                stem = lower[: -len(ending)]
+                if len(stem) < 3:
+                    continue
+                if ending == "s" and (
+                    stem.endswith(("s", "u", "a"))  # fungus, pampas
+                ):
+                    continue
+                # e-restoring and degemination variants for -ed/-ing
+                candidates = [stem]
+                if ending in ("ed", "ing", "ize", "ism", "ist", "able"):
+                    if stem and stem[-1] not in "aeiouy":
+                        # e-restored form is the more word-like LTS input
+                        # (galvaniz-ed -> galvanize), so it goes first
+                        candidates.insert(0, stem + "e")
+                    if len(stem) > 2 and stem[-1] == stem[-2]:
+                        candidates.append(stem[:-1])
+                yield ending, attach, candidates
+
+        # lexicon-backed stems win over guessed ones across ALL endings
+        for _, attach, candidates in strip_candidates():
             for cand in candidates:
                 ps = LEXICON.get(cand)
                 if ps:
                     return attach(ps)
+        for _, attach, candidates in strip_candidates():
             for cand in candidates:
-                if cand.isalpha():
-                    ps = self._lts_word(cand)
-                    if ps:
-                        return attach(ps)
+                if not cand.isalpha():
+                    continue
+                ps = (
+                    self._oov(cand, depth + 1) if depth < 2
+                    else self._lts_word(cand)
+                )
+                if ps:
+                    return attach(ps)
         return self._lts_word(lower)
 
     # --- tokenization with markdown-link features ---------------------------
