@@ -26,7 +26,7 @@ GOLDEN_WORDS = {
     "about": "əbˈaʊt", "between": "bɪtwˈin", "through": "θɹu",
     "computer": "kəmpjˈutɚ", "question": "kwˈɛstʃən",
     # verbs
-    "accept": "æksˈɛpt", "achieve": "ətʃˈiv", "arrange": "ɚɹˈeɪndʒ",
+    "accept": "əksˈɛpt", "achieve": "ətʃˈiv", "arrange": "ɚˈeɪndʒ",
     "believe": "bɪlˈiv", "choose": "tʃuz", "chose": "tʃoʊz",
     "decide": "dɪsˈaɪd", "describe": "dɪskɹˈaɪb", "develop": "dɪvˈɛləp",
     "discuss": "dɪskˈʌs", "encourage": "ɛnkˈɝɪdʒ", "explain": "ɛksplˈeɪn",
@@ -37,21 +37,21 @@ GOLDEN_WORDS = {
     "thrown": "θɹoʊn", "caught": "kɔt", "bought": "bɔt",
     "brought": "bɹɔt", "thought": "θɔt", "fought": "fɔt",
     # nouns
-    "ability": "əbˈɪləti", "advantage": "ædvˈæntɪdʒ",
+    "ability": "əbˈɪləti", "advantage": "ədvˈæntɪdʒ",
     "atmosphere": "ˈætməsfɪɹ", "audience": "ˈɔdiəns",
     "authority": "əθˈɔɹəti", "behavior": "bɪhˈeɪvjɚ",
     "century": "sˈɛntʃɚɹi", "character": "kˈɛɹɪktɚ",
-    "circumstance": "sˈɝkəmstæns", "committee": "kəmˈɪti",
+    "circumstance": "sˈɝkəmstˌæns", "committee": "kəmˈɪti",
     "community": "kəmjˈunəti", "conclusion": "kənklˈuʒən",
-    "consequence": "kˈɑnsəkwɛns", "conversation": "kɑnvɚsˈeɪʃən",
-    "democracy": "dɪmˈɑkɹəsi", "department": "dɪpˈɑɹtmənt",
+    "consequence": "kˈɑnsəkwˌɛns", "conversation": "kɑnvɚsˈeɪʃən",
+    "democracy": "dəmˈɑkɹəsi", "department": "dɪpˈɑɹtmənt",
     "environment": "ɛnvˈaɪɹənmənt", "equipment": "ɪkwˈɪpmənt",
     "evidence": "ˈɛvədəns", "experience": "ɛkspˈɪɹiəns",
     "government": "ɡˈʌvɚnmənt", "hospital": "hˈɑspɪtəl",
     "individual": "ɪndəvˈɪdʒuəl", "industry": "ˈɪndəstɹi",
     "knowledge": "nˈɑlɪdʒ", "language": "lˈæŋɡwɪdʒ",
-    "literature": "lˈɪtɚɹətʃɚ", "machine": "məʃˈin",
-    "majority": "mədʒˈɔɹəti", "material": "mətˈɪɹiəl",
+    "literature": "lˈɪtɚətʃɚ", "machine": "məʃˈin",
+    "majority": "mədʒˈɑɹəti", "material": "mətˈɪɹiəl",
     "medicine": "mˈɛdəsən", "museum": "mjuzˈiəm",
     "opportunity": "ɑpɚtˈunəti", "organization": "ɔɹɡənəzˈeɪʃən",
     "philosophy": "fəlˈɑsəfi", "population": "pɑpjəlˈeɪʃən",
@@ -59,7 +59,7 @@ GOLDEN_WORDS = {
     "relationship": "ɹɪlˈeɪʃənʃɪp", "responsibility": "ɹɪspɑnsəbˈɪləti",
     "restaurant": "ɹˈɛstɚɹɑnt", "situation": "sɪtʃuˈeɪʃən",
     "society": "səsˈaɪəti", "technology": "tɛknˈɑlədʒi",
-    "temperature": "tˈɛmpɚtʃɚ", "university": "junəvˈɝsəti",
+    "temperature": "tˈɛmpɹətʃɚ", "university": "junəvˈɝsəti",
     # adjectives/adverbs
     "absolutely": "æbsəlˈutli", "appropriate": "əpɹˈoʊpɹiət",
     "available": "əvˈeɪləbəl", "beautiful": "bjˈutəfəl",
@@ -72,31 +72,31 @@ GOLDEN_WORDS = {
     "familiar": "fəmˈɪljɚ", "immediately": "ɪmˈidiətli",
     "important": "ɪmpˈɔɹtənt", "impossible": "ɪmpˈɑsəbəl",
     "incredible": "ɪnkɹˈɛdəbəl", "independent": "ɪndɪpˈɛndənt",
-    "interesting": "ˈɪntɹəstɪŋ", "necessary": "nˈɛsəsɛɹi",
+    "interesting": "ˈɪntɹəstɪŋ", "necessary": "nˈɛsəsˌɛɹi",
     "particular": "pɚtˈɪkjəlɚ", "probably": "pɹˈɑbəbli",
     "ridiculous": "ɹɪdˈɪkjələs", "significant": "sɪɡnˈɪfɪkənt",
     "sophisticated": "səfˈɪstəkeɪtəd", "unfortunately": "ʌnfˈɔɹtʃənətli",
     # tech/places/science
-    "algorithm": "ˈælɡɚɹɪðəm", "bandwidth": "bˈændwɪdθ",
-    "software": "sˈɔftwɛɹ", "hardware": "hˈɑɹdwɛɹ",
-    "internet": "ˈɪntɚnˌɛt", "keyboard": "kˈibɔɹd",
+    "algorithm": "ˈælɡɚˌɪðəm", "bandwidth": "bˈændwɪdθ",
+    "software": "sˈɔftwˌɛɹ", "hardware": "hˈɑɹdwˌɛɹ",
+    "internet": "ˈɪntɚnˌɛt", "keyboard": "kˈibˌɔɹd",
     "australia": "ɔstɹˈeɪljə", "beijing": "beɪdʒˈɪŋ",
     "california": "kæləfˈɔɹnjə", "chicago": "ʃəkˈɑɡoʊ",
     "germany": "dʒˈɝməni", "japanese": "dʒæpənˈiz",
-    "shanghai": "ʃæŋhˈaɪ", "washington": "wˈɑʃɪŋtən",
+    "shanghai": "ʃæŋhˈaɪ", "washington": "wˈɔʃɪŋtən",
     "bacteria": "bæktˈɪɹiə", "chemistry": "kˈɛmɪstɹi",
-    "hypothesis": "haɪpˈɑθəsəs", "molecule": "mˈɑləkjul",
-    "quantum": "kwˈɑntəm", "telescope": "tˈɛləskoʊp",
+    "hypothesis": "haɪpˈɑθəsəs", "molecule": "mˈɑləkjˌul",
+    "quantum": "kwˈɑntəm", "telescope": "tˈɛləskˌoʊp",
     # irregular spellings
     "colonel": None, "yacht": None,  # absent is fine; LTS must not crash
     "knight": "nˈaɪt", "wednesday": "wˈɛnzdeɪ", "receipt": None,
-    "island": "ˈaɪlənd", "debt": "dɛt", "tongue": "tʌŋ",
+    "island": "ˈaɪlənd", "debt": "dˈɛt", "tongue": "tˈʌŋ",
     "rhythm": "ɹˈɪðəm", "muscle": "mˈʌsəl",
 }
 
 # derived-form goldens (from en_derived.tsv)
 GOLDEN_DERIVED = {
-    "accepts": "æksˈɛpts", "achieved": "ətʃˈivd",
+    "accepts": "əksˈɛpts", "achieved": "ətʃˈivd",
     "describing": "dɪskɹˈaɪbɪŋ", "improved": "ɪmpɹˈuvd",
     "watches": "wɑtʃəz", "cities": "sˈɪtiz", "carries": "kˈæɹiz",
     "planning": "plænɪŋ", "davs_absent": None,
@@ -196,11 +196,11 @@ SENTENCES = [
     ("I would like to schedule an appointment",
      ["ʃɛdʒ", "əpˈɔɪntmənt"]),
     ("The university library opens at nine",
-     ["junəvˈɝsəti", "lˈaɪbɹɛɹi"]),
+     ["junəvˈɝsəti", "lˈaɪbɹˌɛɹi"]),
     ("Artificial intelligence is changing the world",
      ["ɑɹtəfˈɪʃəl", "ɪntˈɛlədʒəns"]),
     ("Please download the software update",
-     ["dˈaʊnloʊd", "sˈɔftwɛɹ", "ˈʌpdeɪt"]),
+     ["dˈaʊnloʊd", "sˈɔftwˌɛɹ", "ˈʌpdeɪt"]),
 ]
 
 
