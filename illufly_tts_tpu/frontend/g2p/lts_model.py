@@ -202,11 +202,12 @@ def train(entries: Dict[str, str], iters: int = 3) -> Dict:
             data.append((word, phones))
     aligner = _Aligner()
     aligned = aligner.em(data, iters=iters)
-    # joint n-gram over aligned (grapheme, phoneme) pair tokens: trigram,
-    # bigram, and unigram counts with "^"/"$" boundary tokens
+    # joint n-gram over aligned (grapheme, phoneme) pair tokens: 4-gram
+    # down to unigram counts with "^"/"$" boundary tokens
     uni: Dict[str, int] = defaultdict(int)
     bi: Dict[str, Dict[str, int]] = defaultdict(lambda: defaultdict(int))
     tri: Dict[str, Dict[str, int]] = defaultdict(lambda: defaultdict(int))
+    quad: Dict[str, Dict[str, int]] = defaultdict(lambda: defaultdict(int))
     for pairs in aligned:
         toks = ["^"] + [f"{g}>{p}" for g, p in pairs] + ["$"]
         for k, t in enumerate(toks):
@@ -215,10 +216,13 @@ def train(entries: Dict[str, str], iters: int = 3) -> Dict:
                 bi[toks[k - 1]][t] += 1
             if k >= 2:
                 tri[f"{toks[k - 2]}|{toks[k - 1]}"][t] += 1
+            if k >= 3:
+                quad[f"{toks[k - 3]}|{toks[k - 2]}|{toks[k - 1]}"][t] += 1
     return {
         "uni": dict(uni),
         "bi": {k: dict(v) for k, v in bi.items()},
         "tri": {k: dict(v) for k, v in tri.items()},
+        "quad": {k: dict(v) for k, v in quad.items()},
     }
 
 
@@ -231,9 +235,11 @@ class LTSModel:
         self.uni: Dict[str, int] = model["uni"]
         self.bi: Dict[str, Dict[str, int]] = model["bi"]
         self.tri: Dict[str, Dict[str, int]] = model["tri"]
+        self.quad: Dict[str, Dict[str, int]] = model.get("quad", {})
         self.total = sum(self.uni.values()) or 1
         self._bi_tot = {k: sum(v.values()) for k, v in self.bi.items()}
         self._tri_tot = {k: sum(v.values()) for k, v in self.tri.items()}
+        self._quad_tot = {k: sum(v.values()) for k, v in self.quad.items()}
         # emission inventory: grapheme chunk -> observed pair tokens
         emit: Dict[str, List[str]] = defaultdict(list)
         for t in self.uni:
@@ -262,17 +268,21 @@ class LTSModel:
         with open(path, encoding="utf-8") as f:
             return cls(json.load(f))
 
-    def _logp(self, t: str, prev: str, prev2: str) -> float:
-        """Interpolated trigram LM over pair tokens."""
-        # weights tuned on a 1/7 held-out split: trigram-heavy wins
-        # (87-88% phoneme accuracy vs 85% at 0.5/0.45)
-        p = 0.05 * self.uni.get(t, 0) / self.total + 1e-9
+    def _logp(self, t: str, prev: str, prev2: str, prev3: str = "") -> float:
+        """Interpolated 4-gram LM over pair tokens."""
+        # weights tuned on a 1/7 held-out split: higher orders dominate
+        p = 0.04 * self.uni.get(t, 0) / self.total + 1e-9
         b = self.bi.get(prev)
         if b:
-            p += 0.15 * b.get(t, 0) / self._bi_tot[prev]
-        tr = self.tri.get(f"{prev2}|{prev}")
+            p += 0.11 * b.get(t, 0) / self._bi_tot[prev]
+        tri_key = f"{prev2}|{prev}"
+        tr = self.tri.get(tri_key)
         if tr:
-            p += 0.8 * tr.get(t, 0) / self._tri_tot[f"{prev2}|{prev}"]
+            p += 0.45 * tr.get(t, 0) / self._tri_tot[tri_key]
+        quad_key = f"{prev3}|{prev2}|{prev}"
+        q = self.quad.get(quad_key)
+        if q:
+            p += 0.4 * q.get(t, 0) / self._quad_tot[quad_key]
         return math.log(p)
 
     _VOWEL_CHARS = frozenset("aeiouæɑɒɔəɚɛɝɪʊʌ")
@@ -332,13 +342,13 @@ class LTSModel:
 
     def _predict(self, word: str, beam: int) -> Optional[str]:
         n = len(word)
-        # beam state: (prev2-pair, prev-pair, primary-stress-emitted) so a
-        # word decodes with EXACTLY ONE primary stress (the round-3 model
-        # emitted several: mˈɪkˈoʊ...ˈɪɹiəm)
-        beams: List[Dict[Tuple[str, str, bool], Tuple[float, str]]] = [
+        # beam state: (prev3, prev2, prev pair tokens, primary-stress-
+        # emitted) so a word decodes with EXACTLY ONE primary stress (the
+        # round-3 model emitted several: mˈɪkˈoʊ...ˈɪɹiəm)
+        beams: List[Dict[Tuple[str, str, str, bool], Tuple[float, str]]] = [
             {} for _ in range(n + 1)
         ]
-        beams[0][("", "^", False)] = (0.0, "")
+        beams[0][("", "", "^", False)] = (0.0, "")
         for i in range(n):
             if not beams[i]:
                 continue
@@ -354,20 +364,21 @@ class LTSModel:
                 for t in self.emit.get(g, []):
                     p = t.split(">", 1)[1]
                     has_primary = "ˈ" in p
-                    for (prev2, prev, stressed), (score, phon) in \
+                    for (prev3, prev2, prev, stressed), (score, phon) in \
                             beams[i].items():
                         if has_primary and stressed:
                             continue  # one primary per word
-                        s = score + self._logp(t, prev, prev2)
-                        key = (prev, t, stressed or has_primary)
+                        s = score + self._logp(t, prev, prev2, prev3)
+                        key = (prev2, prev, t, stressed or has_primary)
                         slot = beams[i + dg].get(key)
                         if slot is None or s > slot[0]:
                             beams[i + dg][key] = (s, phon + p)
         if not beams[n]:
             return None
         best = best_unstressed = None
-        for (prev2, prev, stressed), (score, phon) in beams[n].items():
-            s = score + self._logp("$", prev, prev2)
+        for (prev3, prev2, prev, stressed), (score, phon) in \
+                beams[n].items():
+            s = score + self._logp("$", prev, prev2, prev3)
             if stressed:
                 if best is None or s > best[0]:
                     best = (s, phon)
