@@ -810,7 +810,7 @@ class EnglishG2P:
             else:
                 ps = "just"
         elif lower == "read":
-            ps = "ɹɛd" if (tag in ("VBD", "VBN") or past_read) else "ɹid"
+            ps = "ɹˈɛd" if (tag in ("VBD", "VBN") or past_read) else "ɹˈid"
         if ps is not None:
             return apply_stress(self._accent(ps, lower), stress)
 

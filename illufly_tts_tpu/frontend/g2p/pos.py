@@ -28,6 +28,7 @@ from typing import List, Optional, Sequence
 DETERMINERS = {
     "the", "a", "an", "this", "that", "these", "those", "each", "every",
     "either", "neither", "some", "any", "no", "another", "such",
+    "more", "less", "most", "least", "much", "fewer",
 }
 PRP_SUBJECT = {"i", "we", "they", "you", "he", "she", "it"}
 PRP_OBJECT = {"me", "us", "them", "him", "her", "myself", "yourself",
@@ -56,6 +57,7 @@ ADVERBS = {
     "already", "still", "soon", "quite", "rather", "almost", "even",
     "only", "really", "well", "perhaps", "maybe", "however", "instead",
     "away", "back", "together", "yesterday", "today", "tomorrow",
+    "please",
 }
 WH_WORDS = {"who": "WP", "whom": "WP", "what": "WP", "which": "WDT",
             "why": "WRB", "how": "WRB"}
@@ -66,6 +68,7 @@ COMMON_VERBS = {
     "begin", "seem", "help", "show", "hear", "run", "move", "believe",
     "bring", "happen", "write", "sit", "stand", "lose", "pay", "meet",
     "include", "continue", "set", "learn", "change", "lead", "understand",
+    "hurt", "cost", "answer", "listen", "roam", "work", "play", "cover",
     "speak", "read", "spend", "grow", "open", "walk", "win", "teach",
     "offer", "remember", "consider", "appear", "buy", "serve", "send",
     "build", "stay", "fall", "cut", "reach", "kill", "raise", "eat",
@@ -76,8 +79,97 @@ COMMON_VERBS = {
     "paid", "met", "spoke", "spent", "grew", "opened", "walked", "won",
     "taught", "bought", "sent", "built", "stayed", "fell", "ate",
 }
+FLAT_ADVERBS = {"hard", "fast", "high", "low", "late", "early", "deep",
+                "long", "straight", "tight", "loud", "slow", "quick"}
+PLURAL_NOUNS = {"people", "police", "cattle", "fish", "sheep", "deer",
+                "children", "men", "women", "feet", "teeth", "mice"}
+
 # past-tense/perfect auxiliaries that force VBN/VBD on an ambiguous verb
 PAST_AUX = HAVE_FORMS | {"was", "were", "been"}
+LINKING_VERBS = {"seem", "seems", "seemed", "look", "looks", "looked",
+                 "feel", "feels", "felt", "sound", "sounds", "sounded",
+                 "smell", "smells", "taste", "tastes", "appear", "appears",
+                 "appeared", "become", "becomes", "became", "remain",
+                 "remains", "remained", "stay", "stays", "stayed", "grew",
+                 "turned", "get", "gets"}
+
+# indefinite pronouns (parent family None, like PRP)
+INDEF_PRONOUNS = {
+    "everything", "everyone", "everybody", "something", "someone",
+    "somebody", "anything", "anyone", "anybody", "nothing", "nobody",
+    "none", "all", "both", "few", "many", "several", "most", "one",
+    "other", "others", "anywhere", "everywhere", "somewhere", "nowhere",
+}
+NUMBER_WORDS = {
+    "zero", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen", "twenty", "thirty",
+    "forty", "fifty", "sixty", "seventy", "eighty", "ninety", "hundred",
+    "thousand", "million", "billion", "trillion", "first", "second",
+    "third", "half", "dozen",
+}
+# common monomorphemic adjectives whose shape gives no -ous/-ful/... cue;
+# curated to EXCLUDE heteronym words (live, close, content, minute, ...)
+# so tag-keyed resolution stays context-driven for those
+COMMON_ADJECTIVES = {
+    "quick", "brown", "lazy", "big", "small", "large", "tiny", "huge",
+    "tall", "short", "long", "wide", "narrow", "deep", "shallow", "high",
+    "low", "old", "young", "new", "fresh", "stale", "ancient", "modern",
+    "good", "bad", "fine", "great", "poor", "rich", "wealthy", "cheap",
+    "expensive", "free", "busy", "idle", "fast", "slow", "rapid", "swift",
+    "hot", "cold", "warm", "cool", "icy", "frozen", "mild", "bitter",
+    "sweet", "sour", "salty", "spicy", "bland", "tasty", "ripe", "raw",
+    "hard", "soft", "firm", "loose", "tight", "stiff", "smooth", "rough",
+    "sharp", "dull", "blunt", "heavy", "light", "dark", "bright", "dim",
+    "pale", "vivid", "clean", "dirty", "neat", "messy", "tidy", "wet",
+    "dry", "damp", "moist", "empty", "full", "hollow", "solid", "dense",
+    "thick", "thin", "fat", "slim", "lean", "strong", "weak", "tough",
+    "fragile", "sturdy", "flimsy", "happy", "sad", "angry", "calm",
+    "nervous", "anxious", "eager", "proud", "humble", "shy", "bold",
+    "brave", "timid", "fierce", "gentle", "kind", "cruel", "mean",
+    "friendly", "hostile", "polite", "rude", "foul", "honest", "loyal", "greedy",
+    "jealous", "curious", "clever", "smart", "wise", "foolish", "stupid",
+    "dumb", "silly", "crazy", "sane", "strange", "weird", "odd", "normal",
+    "common", "rare", "usual", "typical", "unique", "special", "plain",
+    "fancy", "simple", "easy", "tricky", "tough", "quiet", "loud",
+    "noisy", "silent", "early", "late", "recent", "sudden", "gradual",
+    "brief", "quick", "slow", "near", "far", "distant", "local", "remote",
+    "inner", "outer", "upper", "lower", "main", "chief", "prime", "major",
+    "minor", "vital", "crucial", "key", "basic", "core", "pure", "mere",
+    "true", "false", "real", "fake", "right", "wrong", "exact", "rough",
+    "vague", "clear", "plain", "obvious", "subtle", "sick", "ill",
+    "healthy", "fit", "tired", "weary", "awake", "asleep", "alive",
+    "dead", "blind", "deaf", "mute", "lame", "hungry", "thirsty",
+    "careful", "careless", "skilled", "tender", "crisp", "steep",
+    "rocky", "sandy", "muddy", "grassy", "leafy", "woody", "hilly",
+    "rainy", "sunny", "cloudy", "windy", "snowy", "foggy", "stormy",
+    "misty", "humid", "arid", "lush", "barren", "fertile", "wild",
+    "tame", "fierce", "savage", "grand", "noble", "royal", "sacred",
+    "holy", "evil", "wicked", "guilty", "innocent", "legal", "illegal",
+    "fair", "unfair", "equal", "level", "flat", "round", "square",
+    "curved", "straight", "crooked", "bent", "broken", "whole", "entire",
+    "partial", "double", "single", "triple", "extra", "spare", "quiet",
+    "still", "lively", "vivid", "dull", "drab", "colorful", "golden",
+    "silver", "gray", "grey", "red", "blue", "green", "yellow", "pink",
+    "purple", "orange", "black", "white", "blond", "blonde", "bald",
+    "hairy", "furry", "fuzzy", "sleek", "shiny", "glossy", "rusty",
+    "dusty", "angry", "glad", "sorry", "keen", "fond", "proud", "vain",
+    "stern", "strict", "harsh", "severe", "next", "last", "own", "same", "lenient", "gloomy", "cheerful",
+    "merry", "jolly", "grim", "somber", "solemn", "playful", "serious",
+    "earnest", "frank", "blunt", "candid", "sly", "cunning", "shrewd",
+}
+# irregular preterites not covered by the -ed shape guess
+IRREGULAR_PAST = {
+    "rose", "rang", "froze", "drove", "rode", "sang", "swam", "threw",
+    "flew", "drew", "wore", "tore", "chose", "broke", "stole", "woke",
+    "shook", "caught", "fought", "sought", "held", "fed", "bled", "bred",
+    "slid", "stuck", "struck", "swung", "hung", "dug", "spun", "sank",
+    "drank", "shrank", "sprang", "forgot", "forgave", "slept", "crept",
+    "wept", "leapt", "dealt", "knelt", "dreamt", "lent", "bent", "shone",
+    "hid", "lit", "quit", "burst", "slew",
+    "withdrew", "arose", "awoke", "blew", "swore", "swept", "clung",
+    "flung", "strove", "throve", "trod", "wrung", "laid", "fled", "sold",
+}
 
 _NUM_RE = re.compile(r"^[+-]?\d[\d,]*\.?\d*$")
 _PUNCT_TAG = {
@@ -113,6 +205,10 @@ def _closed_class(lower: str) -> Optional[str]:
         return "RB"
     if lower in WH_WORDS:
         return WH_WORDS[lower]
+    if lower in INDEF_PRONOUNS:
+        return "PRP"
+    if lower in NUMBER_WORDS:
+        return "CD"
     # 'there' tags RB via ADVERBS above; no consumer keys on EX, so the
     # existential reading needs no separate tag
     return None
@@ -130,9 +226,16 @@ def _shape_guess(word: str, lower: str, sentence_initial: bool) -> str:
     if lower.endswith(("tion", "sion", "ment", "ness", "ship", "ance",
                        "ence", "ity", "ism", "ist", "ure", "age", "hood")):
         return "NN"
-    if lower.endswith(("ous", "ful", "less", "ive", "able", "ible", "al",
-                       "ish", "ary")):
+    if lower.endswith(("ous", "ful", "less", "ive", "able", "ible",
+                       "ary")) or (lower.endswith(("ish", "al"))
+                                   and len(lower) > 4):
         return "JJ"
+    if lower in PLURAL_NOUNS:
+        return "NNS"
+    if lower in COMMON_ADJECTIVES:
+        return "JJ"
+    if lower in IRREGULAR_PAST:
+        return "VBD"
     if lower.endswith("ed") and len(lower) > 3:
         return "VBD"
     if lower in COMMON_VERBS:
@@ -192,12 +295,24 @@ def tag_words(words: Sequence[str]) -> List[str]:
             # clause-initial word heading a noun phrase or pronoun:
             # imperative ("Close the door", "Permit me")
             tags[i] = "VB"
+        elif pt == "RB" and tags[i] == "NN" and i + 1 < n and (
+            tags[i + 1] in ("DT", "PRP$")
+        ):
+            # adverb-led imperative: "please close the door"
+            tags[i] = "VB"
         elif pt in ("TO", "MD") or pw in DO_FORMS:
             # "to record", "will record", "didn't record" -> verb base
             tags[i] = "VB"
-        elif pw in PAST_AUX:
+        elif pw in PAST_AUX and (
+            lower.endswith(("ed", "en")) or lower in COMMON_VERBS
+            or lower in IRREGULAR_PAST
+        ):
             # "has recorded", "was read" -> past participle
             tags[i] = "VBN"
+        elif pw in LINKING_VERBS and not lower.endswith("ing"):
+            # predicative complement of a linking verb: "seemed content"
+            if tags[i] not in ("NNS", "NNP"):
+                tags[i] = "JJ"
         elif pw in BE_FORMS:
             # "is recording" kept by shape; "is live" -> adjective
             tags[i] = "VBG" if lower.endswith("ing") else "JJ"
@@ -206,18 +321,47 @@ def tag_words(words: Sequence[str]) -> List[str]:
             # plural and proper-noun shape, and keep JJ when the *next*
             # word is itself nominal ("a live concert")
             nxt_tag = tags[i + 1] if i + 1 < n else None
-            if tags[i] == "JJ" and nxt_tag in ("NN", "NNS", "NNP"):
-                pass  # attributive adjective survives
+            if tags[i] == "JJ" and nxt_tag in ("NN", "NNS", "NNP", "JJ"):
+                pass  # attributive adjective survives ("quick brown fox")
+            elif tags[i] == "VBD" and nxt_tag in ("NN", "NNS", "NNP", "JJ"):
+                tags[i] = "JJ"  # "a deserted desert", "the painted wall"
             elif tags[i] not in ("NNS", "NNP"):
                 tags[i] = "NN"
         elif pt == "PRP" and pw in PRP_SUBJECT:
             # "they record", "I present" -> finite verb
             tags[i] = "VBZ" if lower.endswith("s") else "VBP"
+        elif pt == "NNS" and tags[i] == "JJ" and i + 1 < n and (
+            tags[i + 1] == "IN"
+        ) and lower in ("live",):
+            # plural subject + heteronym shape-guessed JJ + preposition:
+            # "fish live in clean water"
+            tags[i] = "VBP"
+        elif pt and pt.startswith("VB") and lower in FLAT_ADVERBS and (
+            i + 1 >= n or tags[i + 1] in ("IN", "DT", "PRP", "PRP$", "CD",
+                                          ".", ",", "CC", "NFP")
+        ):
+            # flat adverbs: "blew hard", "runs fast all night"
+            tags[i] = "RB"
+        elif False and pt and pt.startswith("VB") and tags[i] == "JJ" and (
+            i + 1 >= n or tags[i + 1] in ("IN", "DT", "PRP", "PRP$", "CD",
+                                          ".", ",", "CC", "NFP")
+        ):
+            # flat adverbs: "blew hard", "runs fast all night"
+            tags[i] = "RB"
         elif pt == "IN":
-            if tags[i] not in ("NNS", "NNP", "VBG"):
+            nxt_tag = tags[i + 1] if i + 1 < n else None
+            if tags[i] == "JJ" and nxt_tag in ("NN", "NNS", "NNP", "JJ"):
+                pass  # "in clean water"
+            elif tags[i] not in ("NNS", "NNP", "VBG"):
                 tags[i] = "NN"
-        elif pt == "NNS" and tags[i] == "NN" and i + 1 < n and (
-            tags[i + 1] in ("RB", "IN", ".", ",")
+        elif pt in ("NN", "NNP") and tags[i] == "NNS" and i + 1 < n and (
+            tags[i + 1] in ("RB", "IN", "DT", "PRP$", "JJ", ".", ",")
+        ):
+            # singular subject + s-form: "the fox jumps over ..."
+            tags[i] = "VBZ"
+        elif pt == "NNS" and tags[i] in ("NN", "VB") and i + 1 < n and (
+            tags[i + 1] in ("RB", "IN", "DT", "PRP$", "JJ", "CD", "TO",
+                            ".", ",")
         ):
             # plural subject + verb: "muscles contract quickly",
             # "these results conflict with ours". Keyed on what FOLLOWS

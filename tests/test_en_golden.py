@@ -169,11 +169,11 @@ def test_heteronym_context(g2p):
     assert "pɹˈɛzənt" in g2p.text_to_ipa("a present")
     assert "pɹɪzˈɛnt" in g2p.text_to_ipa("to present")
     # "read" is tense-ambiguous: past/participle contexts force ɹɛd
-    assert "ɹɛd" in g2p.text_to_ipa("I have read the book")
-    assert "ɹid" in g2p.text_to_ipa("please read this")
+    assert "ɹˈɛd" in g2p.text_to_ipa("I have read the book")
+    assert "ɹˈid" in g2p.text_to_ipa("please read this")
     # subject-aux inversion: the auxiliary sits two words back
-    assert "ɹɛd" in g2p.text_to_ipa("Have you read it")
-    assert "ɹɛd" in g2p.text_to_ipa("Has she read the report")
+    assert "ɹˈɛd" in g2p.text_to_ipa("Have you read it")
+    assert "ɹˈɛd" in g2p.text_to_ipa("Has she read the report")
 
 
 def test_apply_stress_algebra():

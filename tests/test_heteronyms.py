@@ -126,10 +126,10 @@ def test_morphology_carries_readings(g2p):
 
 
 def test_read_tense(g2p):
-    assert "ɹɛd" in g2p.text_to_ipa("I have read the book")
-    assert "ɹid" in g2p.text_to_ipa("please read this book")
-    assert "ɹɛd" in g2p.text_to_ipa("Have you read it")
-    assert "ɹid" in g2p.text_to_ipa("I read books every day")
+    assert "ɹˈɛd" in g2p.text_to_ipa("I have read the book")
+    assert "ɹˈid" in g2p.text_to_ipa("please read this book")
+    assert "ɹˈɛd" in g2p.text_to_ipa("Have you read it")
+    assert "ɹˈid" in g2p.text_to_ipa("I read books every day")
 
 
 def test_used_to(g2p):
