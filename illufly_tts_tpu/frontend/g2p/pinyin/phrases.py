@@ -8,6 +8,14 @@ Authored independently; word-level readings follow standard Mandarin.
 
 # Chars whose most common reading differs from the first table entry.
 DEFAULTS = {
+    "吓": "xia4",
+    "抹": "mo3",
+    "哄": "hong3",
+    "差": "cha4",
+    "薄": "bao2",
+    "弹": "tan2",
+    "圈": "quan1",
+    "泡": "pao4",
     "行": "xing2",
     "更": "geng4",
     "校": "xiao4",
@@ -2126,3 +2134,105 @@ for _line in _PHRASES_RAW.strip().splitlines():
     _parts = _line.split()
     if len(_parts) >= 2 and len(_parts[0]) == len(_parts) - 1:
         PHRASES[_parts[0]] = _parts[1:]
+
+# single-character readings keyed by jieba POS prefix: used when a char
+# stands alone as its own word and its reading tracks word class
+POS_READINGS = {
+    "还": {"v": "huan2"},    # 还(v)钱 vs 还(d)没
+    "数": {"v": "shu3", "m": "shu3"},     # 数(v)钱 vs 数(n)字
+    "量": {"v": "liang2"},   # 量(v)体温 vs 重量
+    "盛": {"v": "cheng2"},   # 盛(v)饭 vs 盛大
+    "中": {"v": "zhong4"},   # 中(v)奖 vs 中间
+    "长": {"v": "zhang3"},   # 长(v)大 vs 很长
+    "干": {"v": "gan4"},     # 干(v)活 vs 干净
+    "空": {"v": "kong4"},    # 空(v)出 vs 天空
+    "划": {"v": "hua2"},     # 划(v)船 vs 计划
+    "咽": {"v": "yan4"},     # 咽(v)下 vs 咽喉
+}
+
+# round-4 polyphone-battery additions
+PHRASES["还钱"] = ["huan2", "qian2"]
+PHRASES["睡着"] = ["shui4", "zhao2"]
+PHRASES["了如指掌"] = ["liao3", "ru2", "zhi3", "zhang3"]
+PHRASES["到处"] = ["dao4", "chu4"]
+PHRASES["长得"] = ["zhang3", "de5"]
+PHRASES["倒是"] = ["dao4", "shi4"]
+PHRASES["当差"] = ["dang1", "chai1"]
+PHRASES["重担"] = ["zhong4", "dan4"]
+PHRASES["卡住"] = ["qia3", "zhu4"]
+PHRASES["披散"] = ["pi1", "san3"]
+PHRASES["挑起"] = ["tiao3", "qi3"]
+PHRASES["压轴"] = ["ya1", "zhou4"]
+PHRASES["柏林"] = ["bo2", "lin2"]
+PHRASES["华山"] = ["hua4", "shan1"]
+PHRASES["数钱"] = ["shu3", "qian2"]
+PHRASES["猪圈"] = ["zhu1", "juan4"]
+PHRASES["羊圈"] = ["yang2", "juan4"]
+PHRASES["圈养"] = ["juan4", "yang3"]
+PHRASES["差别"] = ["cha1", "bie2"]
+PHRASES["差距"] = ["cha1", "ju4"]
+PHRASES["差异"] = ["cha1", "yi4"]
+PHRASES["偏差"] = ["pian1", "cha1"]
+PHRASES["误差"] = ["wu4", "cha1"]
+PHRASES["温差"] = ["wen1", "cha1"]
+PHRASES["时差"] = ["shi2", "cha1"]
+PHRASES["反差"] = ["fan3", "cha1"]
+PHRASES["差价"] = ["cha1", "jia4"]
+PHRASES["差额"] = ["cha1", "e2"]
+PHRASES["出差"] = ["chu1", "chai1"]
+PHRASES["差遣"] = ["chai1", "qian3"]
+PHRASES["邮差"] = ["you2", "chai1"]
+PHRASES["薄弱"] = ["bo2", "ruo4"]
+PHRASES["单薄"] = ["dan1", "bo2"]
+PHRASES["淡薄"] = ["dan4", "bo2"]
+PHRASES["刻薄"] = ["ke4", "bo2"]
+PHRASES["薄雾"] = ["bo2", "wu4"]
+PHRASES["薄膜"] = ["bo2", "mo2"]
+PHRASES["子弹"] = ["zi3", "dan4"]
+PHRASES["炸弹"] = ["zha4", "dan4"]
+PHRASES["导弹"] = ["dao3", "dan4"]
+PHRASES["弹药"] = ["dan4", "yao4"]
+PHRASES["弹壳"] = ["dan4", "ke2"]
+PHRASES["枪弹"] = ["qiang1", "dan4"]
+PHRASES["眼泡"] = ["yan3", "pao1"]
+PHRASES["灯泡"] = ["deng1", "pao4"]
+PHRASES["摔倒"] = ["shuai1", "dao3"]
+PHRASES["倒下"] = ["dao3", "xia4"]
+PHRASES["倒闭"] = ["dao3", "bi4"]
+PHRASES["倒霉"] = ["dao3", "mei2"]
+PHRASES["跌倒"] = ["die1", "dao3"]
+PHRASES["打倒"] = ["da3", "dao3"]
+PHRASES["背着"] = ["bei1", "zhe5"]
+PHRASES["咽喉"] = ["yan1", "hou2"]
+PHRASES["分差"] = ["fen1", "cha1"]
+PHRASES["日薄西山"] = ["ri4", "bo2", "xi1", "shan1"]
+PHRASES["干完"] = ["gan4", "wan2"]
+PHRASES["空出"] = ["kong4", "chu1"]
+PHRASES["划着"] = ["hua2", "zhe5"]
+PHRASES["两只手"] = ["liang3", "zhi1", "shou3"]
+PHRASES["雪地"] = ["xue3", "di4"]
+PHRASES["一家之长"] = ["yi1", "jia1", "zhi1", "zhang3"]
+PHRASES["大喝"] = ["da4", "he4"]
+PHRASES["转着"] = ["zhuan4", "zhe5"]
+PHRASES["还钱"] = ["huan2", "qian2"]
+PHRASES["中奖"] = ["zhong4", "jiang3"]
+PHRASES["一觉"] = ["yi1", "jiao4"]
+PHRASES["供品"] = ["gong4", "pin3"]
+PHRASES["露出"] = ["lou4", "chu1"]
+PHRASES["抛头露面"] = ["pao1", "tou2", "lu4", "mian4"]
+PHRASES["混浊"] = ["hun2", "zhuo2"]
+PHRASES["混蛋"] = ["hun2", "dan4"]
+PHRASES["片子"] = ["pian1", "zi5"]
+PHRASES["威吓"] = ["wei1", "he4"]
+PHRASES["恐吓"] = ["kong3", "he4"]
+PHRASES["吓唬"] = ["xia4", "hu5"]
+PHRASES["抹布"] = ["ma1", "bu4"]
+PHRASES["抹平"] = ["mo4", "ping2"]
+PHRASES["闷气"] = ["men4", "qi4"]
+PHRASES["哄堂大笑"] = ["hong1", "tang2", "da4", "xiao4"]
+PHRASES["起哄"] = ["qi3", "hong4"]
+PHRASES["哄抢"] = ["hong1", "qiang3"]
+PHRASES["倒进"] = ["dao4", "jin4"]
+PHRASES["倒入"] = ["dao4", "ru4"]
+PHRASES["倒出"] = ["dao4", "chu1"]
+PHRASES["倒掉"] = ["dao4", "diao4"]

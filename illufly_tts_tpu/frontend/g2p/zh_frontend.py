@@ -12,9 +12,11 @@ from __future__ import annotations
 import re
 from typing import List, Tuple
 
+import jieba
 import jieba.posseg as psg
 
 from .pinyin.engine import split_initial_final, word_pinyin
+from .pinyin.phrases import POS_READINGS
 from .tokens import MToken
 from .tone_sandhi import ToneSandhi
 from ..normalization.zh.chars import traditional_to_simplified
@@ -35,6 +37,15 @@ NOT_ERHUA = {
     "女儿", "男儿", "花儿", "虫儿", "马儿", "鸟儿", "猪儿", "猫儿",
     "狗儿", "少儿", "患儿", "乞儿", "聋儿", "侄儿", "孙儿",
 }
+
+
+# real lexical compounds jieba splits because the first char is a frequent
+# function word; registering them recovers the phrase-level reading the
+# reference gets from pypinyin's large_pinyin (ref zh_frontend.py:26,85)
+for _w, _t in (("还钱", "v"), ("转着", "v"), ("大喝", "v"),
+               ("倒是", "d"), ("倒进", "v"), ("倒入", "v"),
+               ("倒出", "v"), ("倒掉", "v"), ("抹平", "v")):
+    jieba.add_word(_w, tag=_t)
 
 
 class ZHFrontend:
@@ -140,6 +151,20 @@ class ZHFrontend:
                 tokens[-1].whitespace = "/"
 
             initials, finals = self._get_initials_finals(word)
+            # single-char polyphones whose reading tracks word class: use
+            # the jieba POS tag (the reference gets the same disambiguation
+            # from pypinyin phrase data + jieba, ref zh_frontend.py:26,85)
+            if len(word) == 1 and word in POS_READINGS:
+                by_pos = POS_READINGS[word]
+                reading = by_pos.get(pos[:1])
+                if reading is not None:
+                    initial, final = split_initial_final(reading)
+                    if re.match(r"i\d", final):
+                        if initial in ("z", "c", "s"):
+                            final = "ii" + final[1:]
+                        elif initial in ("zh", "ch", "sh", "r"):
+                            final = "iii" + final[1:]
+                    initials, finals = [initial], [final]
             known = [f for f in finals if f is not None]
             if len(known) == len(finals):
                 finals = self.tone_modifier.modified_tone(word, pos, finals)
