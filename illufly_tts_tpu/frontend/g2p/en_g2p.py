@@ -444,16 +444,42 @@ class EnglishG2P:
             ps = stem(lower[:-3] + "y")
             if ps:
                 return _append_past(ps)
+        def verbal(ps: str, spelling: str) -> str:
+            """-ate verbs inflect on the full /eɪt/ form even when the
+            citation entry is the reduced noun/adjective /ət/ reading
+            (gold: affiliating əfˈɪliˌAɾɪŋ, ref english_g2p.py:300-378
+            stem rules applied to the verb-tag reading)."""
+            if spelling.endswith("ate") and len(spelling) > 5 \
+                    and ps.endswith("ət"):
+                return ps[:-2] + "ˌeɪt"
+            return ps
+
         if lower.endswith("ed"):
             # e-restoring stem first: hated = hate+d, not hat+ed
-            ps = stem(lower[:-1]) or (
+            ps = stem(lower[:-1])
+            if ps:
+                return _append_past(verbal(ps, lower[:-1]))
+            ps = (
                 stem(lower[:-3]) if len(lower) > 4
                 and lower[-3] == lower[-4] else None  # doubled: stopped
             ) or stem(lower[:-2])
             if ps:
                 return _append_past(ps)
         if lower.endswith("ing"):
-            ps = stem(lower[:-3]) or stem(lower[:-3] + "e") or (
+            bare = lower[:-3]
+            # a CVC monosyllable-ish bare stem would have DOUBLED its
+            # final consonant before -ing (hop -> hopping); since this
+            # spelling didn't, the e-restored stem is the real source
+            # (hoping = hope). Stems ending in consonant clusters attach
+            # directly (sing -> singing, never singe).
+            e_first = bool(re.search(r"[aeiou][bdfgklmnprstvz]$", bare)) \
+                and len(re.findall(r"[aeiouy]+", bare)) == 1
+            cands = [bare + "e", bare] if e_first else [bare, bare + "e"]
+            for cand in cands:
+                ps = stem(cand)
+                if ps:
+                    return verbal(ps, cand) + "ɪŋ"
+            ps = (
                 stem(lower[:-4]) if len(lower) > 5
                 and lower[-4] == lower[-5] else None  # doubled: running
             )

@@ -322,7 +322,7 @@ class LTSModel:
             return None
         return ipa
 
-    def predict(self, word: str, beam: int = 8) -> Optional[str]:
+    def predict(self, word: str, beam: int = 16) -> Optional[str]:
         """Beam Viterbi over (position, prev-pair, pair) states.
         Doubled consonant letters are collapsed first (they spell one
         sound). Memoized (LRU, 50k entries)."""

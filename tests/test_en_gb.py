@@ -28,7 +28,7 @@ WORD_CASES = [
     ("car", "kɑː"),
     ("nurse", "nˈɜːs"),
     ("bird", "bɜːd"),
-    ("here", "hɪə"),
+    ("here", "hˈɪə"),
     ("there", "ðɛə"),
     ("sure", "ʃʊə"),
     ("force", "fɔːs"),

@@ -1,0 +1,89 @@
+# -*- coding: utf-8 -*-
+"""English G2P word accuracy measured against the reference gold lexicon.
+
+The reference ships a 90,201-entry gold US lexicon
+(/root/reference/src/illufly_tts/core/g2p/data/us_gold.json, loaded at
+english_g2p.py:160-170). Round-3 verdict task 1: use it as a TEST-TIME
+ORACLE ONLY (never vendored) and measure word accuracy on (a) the
+frequency-weighted top-5k sample and (b) a seeded random 2k sample, with
+symbol conventions normalized on both sides (scripts/eval_en_oracle.py
+documents the canon).
+
+Skips when the reference checkout is absent (the package itself never
+depends on it).
+"""
+import os
+import sys
+
+import pytest
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                    "scripts"),
+)
+
+from eval_en_oracle import (  # noqa: E402
+    GOLD_PATH, SPECIAL_CASED, evaluate, load_gold, random_sample,
+    top5k_words,
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLD_PATH),
+    reason="reference gold lexicon not available",
+)
+
+
+@pytest.fixture(scope="module")
+def gold():
+    return load_gold()
+
+
+@pytest.fixture(scope="module")
+def g2p():
+    from illufly_tts_tpu.frontend.g2p.en_g2p import EnglishG2P
+
+    return EnglishG2P()
+
+
+def test_top5k_accuracy(gold, g2p):
+    """>=95% primary (stress-insensitive) accuracy on the frequency-
+    weighted top-5k vocabulary (round-4 done criterion)."""
+    words = [
+        w for w in top5k_words()
+        if w in gold and w.lower() not in SPECIAL_CASED
+    ]
+    assert len(words) > 4000
+    r = evaluate(words, gold, g2p)
+    assert r["primary"] >= 0.95, (
+        f"top5k primary accuracy {r['primary']:.3f} < 0.95 "
+        f"(n={r['n']}); first mismatches: {r['mismatches'][:10]}"
+    )
+
+
+def test_random_gold_accuracy(gold, g2p):
+    """Primary accuracy on a seeded random 2k sample of the full gold
+    vocabulary (round-3 measured 34.4%; round-4 target 70%). The floor
+    asserted here is the measured high-water mark — raise it with every
+    lexicon/LTS improvement, never lower it."""
+    words = random_sample(gold, 2000)
+    r = evaluate(words, gold, g2p)
+    assert r["primary"] >= 0.58, (
+        f"random primary accuracy {r['primary']:.3f} regressed below the "
+        f"measured floor (n={r['n']})"
+    )
+
+
+def test_random_gold_accuracy_unseeded_holdout(gold, g2p):
+    """Generalization guard: a second sample with a DIFFERENT seed must
+    not collapse relative to the seeded sample — protects the seeded
+    number from turning into test-set overfitting."""
+    import random as _random
+
+    keys = sorted(k for k, v in gold.items() if isinstance(v, str))
+    rng = _random.Random(777)
+    words = rng.sample(keys, 1000)
+    r = evaluate(words, gold, g2p)
+    assert r["primary"] >= 0.55, (
+        f"holdout (seed 777) primary accuracy {r['primary']:.3f} — "
+        f"seeded-sample gains are not generalizing"
+    )
