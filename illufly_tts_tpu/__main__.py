@@ -58,11 +58,19 @@ def cli():
 @click.option("--british", is_flag=True, envvar="TTS_BRITISH",
               help="GB English pronunciation (reference "
                    "EnglishG2P(british=True))")
+@click.option("--frontend-workers", default=0, type=int,
+              envvar="TTS_FRONTEND_WORKERS",
+              help="shard the GIL-bound text frontend across N worker "
+                   "processes so big-batch G2P overlaps the device loop "
+                   "(0 = inline)")
 def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
           chunk_size, output_dir, debug_output, zh_dict, en_dict, dp,
-          audio_wire, british):
+          audio_wire, british, frontend_workers):
     """Start the TTS HTTP service."""
     _apply_device(device)
+    if frontend_workers and frontend_workers > 0:
+        # pipeline construction (here or inside create_app) reads the env
+        os.environ["TTS_FRONTEND_WORKERS"] = str(frontend_workers)
     from aiohttp import web
 
     from .api.endpoints import create_app

@@ -181,8 +181,12 @@ async def _process_tts_request(
             peak = np.max(np.abs(audio)) if audio.size else 0.0
             if peak > 1.0:
                 audio = audio / peak
-            # same clip+truncate quantization as encode_wav
-            audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+            # same clip+round quantization as encode_wav and the
+            # on-device pcm16 path (kokoro.py decode) — every quantizer in
+            # the package agrees bit-for-bit (ADVICE r3)
+            audio = np.round(
+                np.clip(audio, -1.0, 1.0) * 32767.0
+            ).astype(np.int16)
         wav_bytes = await asyncio.to_thread(encode_flac, audio, rate)
         wire_fmt = "flac"
     else:
@@ -251,6 +255,11 @@ def create_app(
                     "no zf_001 voice pack found; registered a synthetic "
                     "voice (provide --voices-dir for real voices)"
                 )
+        from ..audio.flac import prewarm as _flac_prewarm
+
+        # build the native FLAC encoder off the request path (ADVICE r3:
+        # the lazy g++ build cost up to 120 s inside the first request)
+        _flac_prewarm()
         if os.environ.get("TTS_WARMUP", "").lower() in ("1", "true", "yes"):
             # precompile the common bucket inventory before taking traffic
             # (SURVEY §7 hard-part 5: warm buckets or tail latency explodes)
@@ -445,7 +454,9 @@ def create_app(
             peak = float(np.max(np.abs(chunk))) if chunk.size else 0.0
             if peak > 1.0:
                 chunk = chunk / peak
-            return (np.clip(chunk, -1, 1) * 32767).astype("<i2")
+            return np.round(
+                np.clip(chunk, -1, 1) * 32767.0
+            ).astype("<i2")
 
         if return_timestamps:
             # NDJSON mode: one JSON line per segment as it completes —

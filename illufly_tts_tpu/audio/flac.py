@@ -55,6 +55,17 @@ _SAMPLERATE_CODES = {
 }
 
 
+def prewarm(background: bool = True) -> None:
+    """Build/load the native encoder ahead of traffic (ADVICE r3: the
+    lazy g++ build cost up to 120 s inside the first FLAC request).
+    Called at server startup; idempotent and cheap once built."""
+    if background:
+        threading.Thread(target=_get_lib, daemon=True,
+                         name="flac-prewarm").start()
+    else:
+        _get_lib()
+
+
 def _get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
@@ -74,7 +85,9 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception as exc:
-                logger.info("native flac build unavailable (%s); using numpy", exc)
+                logger.warning(
+                    "native flac build unavailable (%s); falling back to"
+                    " the SLOW pure-Python encoder", exc)
                 return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -88,7 +101,9 @@ def _get_lib() -> Optional[ctypes.CDLL]:
             _lib = lib
             logger.info("native flac encoder loaded: %s", _SO)
         except OSError as exc:
-            logger.info("native flac load failed (%s); using numpy", exc)
+            logger.warning(
+                "native flac load failed (%s); falling back to the SLOW"
+                " pure-Python encoder", exc)
     return _lib
 
 
@@ -362,10 +377,15 @@ def decode_flac(data: bytes, verify: bool = True) -> Tuple[np.ndarray, int]:
     md5_expect = b"\x00" * 16
     while True:
         head = data[pos:pos + 4]
+        if len(head) < 4:  # truncated inside a metadata header: same
+            # ValueError contract as frame-level truncation (ADVICE r3)
+            raise ValueError("truncated or corrupt FLAC metadata")
         last = head[0] & 0x80
         btype = head[0] & 0x7F
         blen = int.from_bytes(head[1:4], "big")
         body = data[pos + 4:pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated or corrupt FLAC metadata")
         if btype == 0:
             br = _BitReader(body)
             br.get(16), br.get(16), br.get(24), br.get(24)

@@ -23,7 +23,9 @@ def encode_wav(audio: np.ndarray, sample_rate: int = 24000) -> bytes:
         peak = np.max(np.abs(audio)) if audio.size else 0.0
         if peak > 1.0:
             audio = audio / peak
-        pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+        pcm = np.round(
+            np.clip(audio, -1.0, 1.0) * 32767.0
+        ).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -52,7 +54,9 @@ def save_audio(path: str, audio: np.ndarray, sample_rate: int = 24000) -> None:
             peak = np.max(np.abs(audio)) if audio.size else 0.0
             if peak > 1.0:
                 audio = audio / peak
-            audio = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+            audio = np.round(
+                np.clip(audio, -1.0, 1.0) * 32767.0
+            ).astype(np.int16)
         with open(path, "wb") as f:
             f.write(encode_flac(audio, sample_rate))
         return

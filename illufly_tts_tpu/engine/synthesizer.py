@@ -683,9 +683,9 @@ class Synthesizer:
             elif handle.fmt == "pcm16" and not pcm16:
                 clip = clip.astype(np.float32) / 32767.0
             elif handle.fmt == "f32" and pcm16:
-                clip = np.clip(
-                    clip.astype(np.float32) * 32767.0, -32768, 32767
-                ).astype(np.int16)
+                clip = np.round(np.clip(
+                    clip.astype(np.float32) * 32767.0, -32767, 32767
+                )).astype(np.int16)
             out.append(clip)
         return out
 
@@ -743,24 +743,76 @@ class Synthesizer:
                 self._stage_b[key] = jax.jit(run)
         return self._stage_b[key]
 
+    def _stream_exact(self, handle: "DispatchHandle", window_frames: int):
+        """Bit-exact streaming: launch the batch stage-B program (same
+        executable as launch_decode/collect, so the bits match by
+        construction), then yield window-sized slices of the on-device
+        result. Each ``np.asarray`` transfers ONLY its slice, so chunk k
+        is on the wire while the caller consumes chunk k-1 — streaming
+        still overlaps transfer with downstream work even though the
+        compute happened up front."""
+        self.launch_decode(handle)
+        spf = self.config.samples_per_frame
+        lut = None
+        if handle.fmt == "mulaw8k":
+            from ..audio.telephony import RATIO
+
+            spf //= RATIO
+        elif handle.fmt == "mulaw24k":
+            from ..audio.telephony import mulaw_lut
+
+            lut = mulaw_lut(np.float32)
+        max_total = int(handle.fitted_totals[: handle.n].max())
+        emitted = 0
+        while emitted < max_total:
+            frames_here = min(window_frames, max_total - emitted)
+            lo = emitted * spf
+            chunk = np.asarray(
+                handle.audio[: handle.n, lo: lo + frames_here * spf]
+            )
+            if lut is not None:
+                chunk = lut[chunk]
+            elif handle.fmt == "pcm16":
+                chunk = chunk.astype(np.float32) / 32767.0
+            yield chunk
+            emitted += frames_here
+
     def stream_decode(
         self,
         handle: "DispatchHandle",
         window_frames: int = 64,
         halo_frames: int = 16,
+        exact: bool = True,
     ):
-        """Yield waveform chunks (np float32 [B, <=window*600]) as stage B
-        renders the utterance window by window — first audio arrives after
-        one window (~window_frames/40 s of content) instead of after the
-        full frame budget (VERDICT r2 next-8).
+        """Yield waveform chunks (np float32 [B, <=window*600]) as the
+        utterance streams out chunk by chunk (VERDICT r2 next-8).
 
-        Uses decode_prepare (sequence-global state once: prosody BiLSTM,
-        decoder trunk, harmonic-source phase) + decode_window (generator
-        per window; ONE compiled program for all positions — start is
-        traced). Consecutive windows overlap by ``halo_frames`` and the
-        seam is equal-power crossfaded (the generator's AdaIN time
-        statistics make windows approximate — see decode_window). The
-        final chunk is trimmed to the batch's fitted frame total."""
+        ``exact=True`` (default): run the SAME compiled stage-B program
+        the batch path uses, then emit bit-exact slices of its output
+        with incremental device->host transfer — streamed concatenation
+        equals ``collect()`` exactly (tests/test_streaming.py asserts
+        bitwise). Exactness costs latency: the generator's AdaIN layers
+        are instance norms over the FULL time axis (layers.py AdaIN1d,
+        mirroring upstream iSTFTNet), so every output sample depends on
+        every timestep — the statistics of layer k need layer-k
+        activations over the whole span, nested through the conv stack,
+        which makes any windowed exact decode do at least one full-span
+        generator pass. Slicing that pass's own output is the optimal
+        implementation; first audio arrives after the full stage-B
+        render (~batch-1 latency) plus one chunk transfer.
+
+        ``exact=False``: low-TTFA windowed decode — decode_prepare
+        (sequence-global state once: prosody BiLSTM, decoder trunk,
+        harmonic-source phase) + decode_window (generator per window;
+        ONE compiled program for all positions — start is traced).
+        First audio after ONE window (~window_frames/40 s of content).
+        Consecutive windows overlap by ``halo_frames`` and the seam is
+        equal-power crossfaded: window-local AdaIN statistics make the
+        audio an approximation of the batch render (see decode_window).
+        The final chunk is trimmed to the batch's fitted frame total."""
+        if exact:
+            yield from self._stream_exact(handle, window_frames)
+            return
         if handle.d is None:
             raise ValueError(
                 "handle was already decoded (launch_decode/collect "

@@ -21,10 +21,18 @@ logger = logging.getLogger(__name__)
 _ZH_ENTRY = re.compile(r"^([一-鿿]+)\s+((?:[a-zv]+[1-5]\s*)+)$")
 _EN_ENTRY = re.compile(r"^([A-Za-z][A-Za-z'\-]*)\s+(\S.*?)\s*$")
 
+# paths loaded into THIS process, in order — frontend.pool replays them in
+# worker processes so pooled and serial G2P agree on user overrides
+LOADED_ZH: List[str] = []
+LOADED_EN: List[str] = []
+
 
 def load_zh_dict(path: str) -> Dict[str, List[str]]:
     """Load zh overrides and register them in the live phrase table."""
     from .pinyin.phrases import PHRASES
+
+    if path not in LOADED_ZH:
+        LOADED_ZH.append(path)
 
     added: Dict[str, List[str]] = {}
     with open(path, encoding="utf-8") as f:
@@ -62,6 +70,8 @@ def load_en_dict(path: str) -> Dict[str, str]:
     """
     from .en_lexicon import LEXICON
 
+    if path not in LOADED_EN:
+        LOADED_EN.append(path)
     added: Dict[str, str] = {}
     if path.endswith(".json"):
         import json

@@ -57,6 +57,7 @@ class TTSPipeline:
         mesh=None,
         wire_format: Optional[str] = None,
         british: bool = False,
+        frontend_workers: Optional[int] = None,
     ):
         # wire_format='mulaw24k': deployment knob trading audio word depth
         # for device->host bandwidth — PCM-format requests ('f32'/'pcm16')
@@ -88,6 +89,23 @@ class TTSPipeline:
         self.zh_normalizer = ZhTextNormalizer()
         self.en_normalizer = EnTextNormalizer()
 
+        # GIL-bound frontend sharded across worker processes so big-batch
+        # G2P overlaps the host dispatch/collect loop (frontend/pool.py;
+        # VERDICT r3 next-7). Off by default; serving turns it on via
+        # --frontend-workers / TTS_FRONTEND_WORKERS.
+        if frontend_workers is None:
+            frontend_workers = int(
+                os.environ.get("TTS_FRONTEND_WORKERS", "0") or 0
+            )
+        self._frontend_pool = None
+        if frontend_workers > 0:
+            from .frontend.pool import FrontendPool
+
+            self._frontend_pool = FrontendPool(
+                frontend_workers, default_language=default_language,
+                british=british,
+            )
+
         self.synthesizer = synthesizer or Synthesizer(
             voices_dir=voices_dir, mesh=mesh,
             repo_id="" if os.path.isfile(repo_id or "") else repo_id,
@@ -99,24 +117,27 @@ class TTSPipeline:
         self.sample_rate = self.synthesizer.sample_rate
         logger.info("TTSPipeline ready (device=%s)", self.device)
 
-    def _init_frontend_only(self) -> None:
+    def _init_frontend_only(self, default_language: str = "zh",
+                            british: bool = False) -> None:
         """Construct ONLY the text frontend (no synthesizer / device
         state). Used by training/data.py to phonemize transcripts — a
-        dataset scan must not allocate TPU buffers or compile anything."""
+        dataset scan must not allocate TPU buffers or compile anything —
+        and by frontend.pool workers (one frontend per process)."""
         self.repo_id = ""
         self.voices_dir = None
         self.device = "none"
-        self.default_language = "zh"
+        self.default_language = default_language
         self.sample_rate = 24000
         self.fail_silent = False
-        self.british = False
-        self.en_g2p = EnglishG2P()
+        self.british = british
+        self.en_g2p = EnglishG2P(british=british)
         self.en_callback = self.en_g2p.text_to_ipa
         self.g2p = ChineseG2P(en_callable=self.en_callback)
         self.zh_normalizer = ZhTextNormalizer()
         self.en_normalizer = EnTextNormalizer()
         self.synthesizer = None
         self.wire_format = None
+        self._frontend_pool = None
 
     # --- voices ---------------------------------------------------------------
 
@@ -440,26 +461,34 @@ class TTSPipeline:
         window_frames: int = 64,
         halo_frames: int = 16,
         pitch: float = 1.0,
+        exact: bool = True,
     ):
-        """Yield waveform chunks for ONE utterance as the decoder renders
-        it window by window (intra-utterance streaming, one level deeper
-        than the reference's chunk-synchronous stream_batch_process,
-        reference pipeline.py:616-663). First audio arrives after one
-        window (~window_frames/40 s of content) instead of the full
-        utterance. Chunks crossfade at window seams
+        """Yield waveform chunks for ONE utterance (intra-utterance
+        streaming, one level deeper than the reference's chunk-synchronous
+        stream_batch_process, reference pipeline.py:616-663).
+
+        ``exact=True`` (default): the streamed concatenation is bitwise
+        equal to ``process()`` — the batch stage-B program renders once
+        and chunks are incremental device→host slices; first audio after
+        the full render (~batch-1 latency). ``exact=False``: low-TTFA
+        windowed decode — first audio after ONE window
+        (~window_frames/40 s of content), crossfaded at window seams
         (engine/synthesizer.py stream_decode)."""
         normalized = self.preprocess_text(text)
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
         handle = self.synthesizer.dispatch([ipa], [voice_id], [speed],
                                            pitches=[pitch])
-        yield from self._stream_chunks(handle, window_frames, halo_frames)
+        yield from self._stream_chunks(handle, window_frames, halo_frames,
+                                       exact)
 
-    def _stream_chunks(self, handle, window_frames: int, halo_frames: int):
+    def _stream_chunks(self, handle, window_frames: int, halo_frames: int,
+                       exact: bool = True):
         total = None
         emitted = 0
         for chunk in self.synthesizer.stream_decode(
-            handle, window_frames=window_frames, halo_frames=halo_frames
+            handle, window_frames=window_frames, halo_frames=halo_frames,
+            exact=exact,
         ):
             if total is None:
                 total = int(handle.fitted_totals[0]) * (
@@ -478,13 +507,14 @@ class TTSPipeline:
         window_frames: int = 64,
         halo_frames: int = 16,
         pitch: float = 1.0,
+        exact: bool = True,
     ):
         """``(words, chunk_generator)`` for one utterance: intra-utterance
-        streaming (``stream_process``) plus word timestamps. The stamps
-        come from stage A's quantized durations, which are known at
-        dispatch — BEFORE any audio has rendered — so a caller (karaoke
-        captions, avatar lip-sync) has the full word timeline in hand
-        when the first chunk arrives."""
+        streaming (``stream_process``, same ``exact`` semantics) plus word
+        timestamps. The stamps come from stage A's quantized durations,
+        which are known at dispatch — BEFORE any audio has rendered — so a
+        caller (karaoke captions, avatar lip-sync) has the full word
+        timeline in hand when the first chunk arrives."""
         normalized = self.preprocess_text(text)
         ipa = self.phonemes_to_ipa(self.text_to_phonemes(normalized))
         ipa = ipa[:MAX_PHONEMES]
@@ -610,6 +640,10 @@ class TTSPipeline:
         from .utils.profiling import TIMERS
 
         with TIMERS.track("frontend"):
+            if self._frontend_pool is not None:
+                pooled = self._frontend_pool.texts_to_ipa(texts)
+                if pooled is not None:
+                    return pooled
             return [
                 self.phonemes_to_ipa(
                     self.text_to_phonemes(self.preprocess_text(t))

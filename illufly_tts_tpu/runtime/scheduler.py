@@ -270,16 +270,21 @@ class TTSServiceManager:
             )
         return cache[wants_timestamps]
 
-    def _bpt_accepts_format(self) -> bool:
-        """Whether the pipeline's ``batch_process_texts`` takes an
-        ``output_format`` argument (duck-typed pipelines may not; the
-        pcm16 fast path then degrades to the legacy f32 call). Cached —
+    def _accepts_format(self, method: str) -> bool:
+        """Whether the pipeline method takes an ``output_format``
+        argument (duck-typed pipelines may not; the pcm16 fast path then
+        degrades to the legacy f32 call). Applied uniformly to the
+        fused, timestamp, and split-phase dispatches (ADVICE r3: only
+        the fused path guarded before). Cached per method name —
         signature inspection is per-batch hot-loop work otherwise."""
-        cached = getattr(self, "_bpt_fmt_ok", None)
+        cache = getattr(self, "_fmt_ok_cache", None)
+        if cache is None:
+            cache = self._fmt_ok_cache = {}
+        cached = cache.get(method)
         if cached is None:
             import inspect
 
-            fn = getattr(self.pipeline, "batch_process_texts", None)
+            fn = getattr(self.pipeline, method, None)
             try:
                 params = inspect.signature(fn).parameters
                 cached = "output_format" in params or any(
@@ -287,8 +292,22 @@ class TTSServiceManager:
                 )
             except (TypeError, ValueError):
                 cached = True  # uninspectable (C callable): assume full
-            self._bpt_fmt_ok = cached
+            cache[method] = cached
         return cached
+
+    def _bpt_accepts_format(self) -> bool:
+        return self._accepts_format("batch_process_texts")
+
+    def _fmt_for(self, method: str, fmt: str) -> str:
+        """The format to hand ``method``: the default on-device 'pcm16'
+        downgrades to the legacy 'f32' when the (extension) pipeline's
+        signature predates output_format — the f32 audio encodes to the
+        same 16-bit WAV on the response path, only the on-device
+        quantization saving is lost. Explicit non-default formats pass
+        through (the pipeline's own validation owns that error)."""
+        if fmt == "pcm16" and not self._accepts_format(method):
+            return "f32"
+        return fmt
 
     def _inspect_pitch_support(self, wants_timestamps: bool) -> bool:
         import inspect
@@ -487,7 +506,8 @@ class TTSServiceManager:
                 # the duration capture rides the split-phase dispatch, so
                 # timestamped batches keep the decode-ahead overlap
                 audios, stamps = await self._run_batch_split(
-                    texts, voices, speeds, fmt,
+                    texts, voices, speeds,
+                    self._fmt_for("dispatch_texts", fmt),
                     want if any(want) else None, pitch_kw,
                 )
                 if stamps is not None:
@@ -497,8 +517,12 @@ class TTSServiceManager:
             elif any(want) and ts_fn is not None:
                 # fused fallback for pipelines without the split surface
                 audios, stamps = await asyncio.to_thread(
-                    partial(ts_fn, texts, voices, speeds, fmt, want,
-                            **pitch_kw)
+                    partial(
+                        ts_fn, texts, voices, speeds,
+                        self._fmt_for(
+                            "batch_process_texts_with_timestamps", fmt
+                        ),
+                        want, **pitch_kw)
                 )
                 for task, ts in zip(batch, stamps):
                     if task.want_timestamps:

@@ -137,6 +137,61 @@ def test_sharded_serving_non_power_of_two_mesh():
         assert a.size > 0 and np.all(np.isfinite(a))
 
 
+async def test_sharded_serving_full_http_path(tmp_path):
+    """The WHOLE serving path runs multi-chip (VERDICT r3 next-8): HTTP
+    handler -> JWT auth -> scheduler batch -> DP-sharded stage-A/stage-B
+    decode on the 8-device mesh -> WAV bytes out. test_sharded_serving_*
+    above prove the sharded engine math; this proves the server wiring
+    (submit/poll, batching, format plumbing) is mesh-agnostic too."""
+    import base64
+    import os
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from illufly_tts_tpu.api.auth import create_access_token
+    from illufly_tts_tpu.api.endpoints import create_app
+    from illufly_tts_tpu.engine.synthesizer import Synthesizer
+    from illufly_tts_tpu.pipeline import CachedTTSPipeline
+
+    cfg = tiny_config()
+    mesh = make_mesh(n_data=8, n_model=1)
+    synth = Synthesizer(config=cfg, mesh=mesh, token_buckets=(32,),
+                        frame_buckets=(64,))
+    synth.register_random_voice("zf_001", seed=11)
+    pipe = CachedTTSPipeline(synthesizer=synth)
+
+    os.environ.pop("TTS_DEV_MODE", None)
+    os.environ["FASTAPI_SECRET_KEY"] = "test-secret"
+    app = create_app(output_dir=str(tmp_path), pipeline=pipe,
+                     max_wait_time=0.02)
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    try:
+        headers = {"Authorization":
+                   f"Bearer {create_access_token('mesh_user')}"}
+        # two concurrent requests so the scheduler actually forms a batch
+        # that the engine pads/shards over the 8-way data axis
+        import asyncio
+
+        resps = await asyncio.gather(
+            client.post("/api/tts", json={"text": "你好。"},
+                        headers=headers),
+            client.post("/api/tts", json={"text": "再见。"},
+                        headers=headers),
+        )
+        for resp in resps:
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            assert data["status"] == "success"
+            wav = base64.b64decode(data["audio_base64"])
+            assert wav[:4] == b"RIFF"
+            pcm = np.frombuffer(wav[44:], dtype="<i2")
+            assert pcm.size > 0 and np.isfinite(
+                pcm.astype(np.float32)).all()
+    finally:
+        await client.close()
+
+
 def test_sharded_serving_pads_small_batches():
     """A single request on an 8-chip mesh pads the batch bucket up to the
     data-axis size instead of failing to shard."""

@@ -1,14 +1,18 @@
 # -*- coding: utf-8 -*-
-"""Intra-utterance streaming decode (VERDICT r2 next-8).
+"""Intra-utterance streaming decode (VERDICT r2 next-8, r3 next-6).
 
-The decoder renders window by window (decode_prepare computes all
-sequence-global state — prosody BiLSTM, decoder trunk, harmonic phase —
-once; decode_window runs the generator per window). The generator's AdaIN
-layers are instance norms over time, so windowed output is an
-approximation of the full render; seams are crossfaded. These tests pin:
-chunk geometry/trim, C0 seam continuity (no clicks), phase/conv context
+Two modes. exact=True (default): the batch stage-B program renders once
+and chunks are incremental device→host slices — streamed concatenation
+equals collect() bitwise (asserted below). exact=False: low-TTFA windowed
+decode (decode_prepare computes all sequence-global state — prosody
+BiLSTM, decoder trunk, harmonic phase — once; decode_window runs the
+generator per window); the generator's AdaIN layers are instance norms
+over time, so windowed output is an approximation and seams are
+crossfaded. These tests pin: bitwise exactness (f32 + pcm16 wire), chunk
+geometry/trim, C0 seam continuity (no clicks), phase/conv context
 correctness (full-span window == full render bit-exactly), and the
-streaming structure (first chunk ready before later windows render)."""
+windowed mode's streaming structure (first chunk ready before later
+windows render)."""
 import time
 
 import jax.numpy as jnp
@@ -67,9 +71,49 @@ def test_full_span_window_is_exact(synth):
     np.testing.assert_allclose(np.asarray(audio), full, atol=1e-4)
 
 
+def test_exact_stream_bitwise_equals_collect(synth):
+    """Default (exact) streaming: the concatenated chunks equal the batch
+    collect() output bit-for-bit — streamed and non-streamed synthesis
+    are the same audio by construction (VERDICT r3 next-6)."""
+    h = synth.dispatch(TEXTS, ["v", "v"])
+    chunks = list(synth.stream_decode(h, window_frames=32))
+    stream = np.concatenate(chunks, axis=1)
+    h2 = synth.dispatch(TEXTS, ["v", "v"])
+    ref = synth.collect(h2)
+    for i, clip in enumerate(ref):
+        n = clip.size
+        assert stream[i, :n].tobytes() == clip.tobytes(), i
+        if n < stream.shape[1]:  # short item: masked tail stays silent
+            assert np.abs(stream[i, n:]).max() == 0.0
+
+
+def test_exact_stream_bitwise_pcm16(synth):
+    """Exactness holds for the on-device pcm16 wire format too (the
+    chunk path and collect() share the /32767 expansion)."""
+    h = synth.dispatch(TEXTS, ["v", "v"], fmt="pcm16")
+    chunks = list(synth.stream_decode(h, window_frames=32))
+    stream = np.concatenate(chunks, axis=1)
+    h2 = synth.dispatch(TEXTS, ["v", "v"], fmt="pcm16")
+    ref = synth.collect(h2)  # float32 expanded from int16
+    for i, clip in enumerate(ref):
+        assert stream[i, : clip.size].tobytes() == clip.tobytes(), i
+
+
+def test_exact_stream_accepts_decoded_handle(synth):
+    """Exact streaming reuses launch_decode's on-device buffer, so a
+    handle that already ran launch_decode streams fine (the windowed
+    mode must reject it — stage-A intermediates are gone)."""
+    h = synth.dispatch(TEXTS, ["v", "v"])
+    synth.launch_decode(h)
+    chunks = list(synth.stream_decode(h, window_frames=32))
+    assert sum(c.shape[1] for c in chunks) == 128 * \
+        synth.config.samples_per_frame
+
+
 def test_stream_chunks_and_trim(synth):
     h = synth.dispatch(TEXTS, ["v", "v"])
-    chunks = list(synth.stream_decode(h, window_frames=32, halo_frames=8))
+    chunks = list(synth.stream_decode(h, window_frames=32, halo_frames=8,
+                                      exact=False))
     spf = synth.config.samples_per_frame
     # 128-frame budget, 32-frame windows -> 4 chunks; all full size here
     # because the batch max total hits the budget
@@ -88,7 +132,8 @@ def test_seam_continuity_no_clicks(synth):
     sample-to-sample jump at seams by the waveform's own neighbouring
     jumps (no click = no outlier discontinuity)."""
     h = synth.dispatch(TEXTS, ["v", "v"])
-    chunks = list(synth.stream_decode(h, window_frames=32, halo_frames=8))
+    chunks = list(synth.stream_decode(h, window_frames=32, halo_frames=8,
+                                      exact=False))
     stream = np.concatenate(chunks, axis=1)
     spf = synth.config.samples_per_frame
     step = np.abs(np.diff(stream[0]))
@@ -137,7 +182,8 @@ def test_streaming_structure_first_chunk_early(synth):
     """The generator must yield chunk 0 without having rendered later
     windows (that is the TTFA win: one window of work, not F/W windows)."""
     h = synth.dispatch(TEXTS, ["v", "v"])
-    gen = synth.stream_decode(h, window_frames=32, halo_frames=8)
+    gen = synth.stream_decode(h, window_frames=32, halo_frames=8,
+                              exact=False)
     t0 = time.perf_counter()
     first = next(gen)
     t_first = time.perf_counter() - t0
@@ -156,7 +202,8 @@ def test_stream_decode_rejects_decoded_handle(synth):
     h = synth.dispatch(TEXTS, ["v", "v"])
     synth.launch_decode(h)
     with pytest.raises(ValueError, match="already decoded"):
-        next(synth.stream_decode(h, window_frames=32, halo_frames=8))
+        next(synth.stream_decode(h, window_frames=32, halo_frames=8,
+                                 exact=False))
 
 
 def test_bucket_inventories_sorted():
