@@ -36,6 +36,10 @@ _RE_ZHUYIN_SYLLABLE = re.compile(
 )
 
 
+# zhuyin chunk -> IPA memo (see _zhuyin_chunk_to_ipa)
+_ZY_CACHE: dict = {}
+
+
 class ChineseG2P:
     def __init__(self, unk: str = "❓", en_callable=None):
         self.unk = unk
@@ -129,6 +133,17 @@ class ChineseG2P:
         return entries
 
     def _zhuyin_chunk_to_ipa(self, chunk: str) -> str:
+        # pure str->str over static tables: memoize (syllable chunks come
+        # from a small closed inventory, so this is a near-total hit rate)
+        hit = _ZY_CACHE.get(chunk)
+        if hit is not None:
+            return hit
+        out = self._zhuyin_chunk_to_ipa_uncached(chunk)
+        if len(_ZY_CACHE) < 50_000:
+            _ZY_CACHE[chunk] = out
+        return out
+
+    def _zhuyin_chunk_to_ipa_uncached(self, chunk: str) -> str:
         # Split on tone digits: each syllable ends with its tone.
         parts = re.findall(r"[^1-5]+[1-5]?", chunk)
         out = []

@@ -54,6 +54,12 @@ def load_zh_dict(path: str) -> Dict[str, List[str]]:
                 continue
             PHRASES[word] = readings
             added[word] = readings
+    if added:
+        # the frontend memoizes word->pinyin lookups; new overrides must
+        # invalidate them (zh_frontend.clear_frontend_caches)
+        from .zh_frontend import clear_frontend_caches
+
+        clear_frontend_caches()
     logger.info("loaded %d zh dictionary entries from %s", len(added), path)
     return added
 

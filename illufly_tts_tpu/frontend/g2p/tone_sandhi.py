@@ -33,6 +33,14 @@ import jieba
 
 from .pinyin.engine import word_pinyin
 
+# (word, pos, finals-in) -> finals-out memo; see modified_tone
+_MT_CACHE: dict = {}
+_MT_CACHE_MAX = 100_000
+
+
+def clear_sandhi_cache() -> None:
+    _MT_CACHE.clear()
+
 # Sentence-final particles read neutral (reference :106).
 _PARTICLES = "吧呢啊呐噻嘛吖嗨哦哒滴哩哟喽啰耶喔诶呀哇啦咧嘞"
 _DE = "的地得"
@@ -367,8 +375,18 @@ class ToneSandhi:
     def modified_tone(
         self, word: str, pos: str, finals: List[str]
     ) -> List[str]:
+        # pure in (word, pos, finals) — the rule tables are static — and
+        # words repeat heavily in serving text, so memoize (the result is
+        # copied out: erhua merging mutates it downstream). Cleared by
+        # zh_frontend.clear_frontend_caches on custom-dict load.
+        key = (word, pos, tuple(finals))
+        hit = _MT_CACHE.get(key)
+        if hit is not None:
+            return list(hit)
         finals = self._bu_sandhi(word, finals)
         finals = self._yi_sandhi(word, finals)
         finals = self._neural_sandhi(word, pos, finals)
         finals = self._three_sandhi(word, finals)
+        if len(_MT_CACHE) < _MT_CACHE_MAX:
+            _MT_CACHE[key] = tuple(finals)
         return finals

@@ -48,6 +48,24 @@ for _w, _t in (("还钱", "v"), ("转着", "v"), ("大喝", "v"),
     jieba.add_word(_w, tag=_t)
 
 
+# word -> (initials, finals) memo. The lookup is pure in `word` (phrase
+# table + per-char defaults + i/ii/iii recoding), and serving text repeats
+# words heavily, so this removes ~1/3 of the zh frontend's per-batch CPU
+# (the frontend is host-side work that competes with the dispatch loop —
+# bench.py e2e scenario). Values are stored as tuples and copied out
+# because downstream sandhi/erhua mutate the lists in place. Cleared by
+# custom_dict.load_zh_dict (the only runtime mutation of the tables).
+_IF_CACHE: dict = {}
+_IF_CACHE_MAX = 100_000
+
+
+def clear_frontend_caches() -> None:
+    _IF_CACHE.clear()
+    from .tone_sandhi import clear_sandhi_cache
+
+    clear_sandhi_cache()
+
+
 class ZHFrontend:
     def __init__(self, unk: str = "❓"):
         self.unk = unk
@@ -56,6 +74,9 @@ class ZHFrontend:
     def _get_initials_finals(
         self, word: str
     ) -> Tuple[List[str], List[str]]:
+        hit = _IF_CACHE.get(word)
+        if hit is not None:
+            return list(hit[0]), list(hit[1])
         initials: List[str] = []
         finals: List[str] = []
         for ch, py in zip(word, word_pinyin(word)):
@@ -77,6 +98,8 @@ class ZHFrontend:
                     final = "iii" + final[1:]
             initials.append(initial)
             finals.append(final)
+        if len(_IF_CACHE) < _IF_CACHE_MAX:
+            _IF_CACHE[word] = (tuple(initials), tuple(finals))
         return initials, finals
 
     def _merge_erhua(

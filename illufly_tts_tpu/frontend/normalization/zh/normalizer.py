@@ -102,6 +102,10 @@ def _collapse_comma_num(match: re.Match) -> str:
     return digits
 
 
+# sentence -> normalized memo (see normalize_sentence)
+_SENT_CACHE: dict = {}
+
+
 class ZhTextNormalizer:
     """Normalize Chinese text: split into sentences and verbalize NSWs."""
 
@@ -119,6 +123,18 @@ class ZhTextNormalizer:
         return sentence
 
     def normalize_sentence(self, sentence: str) -> str:
+        # pure str->str regex cascade: memoize — serving text repeats
+        # sentences (boilerplate, retries, shared prompts) and the NSW
+        # cascade is ~half the normalizer's CPU
+        hit = _SENT_CACHE.get(sentence)
+        if hit is not None:
+            return hit
+        out = self._normalize_sentence_uncached(sentence)
+        if len(_SENT_CACHE) < 20_000:
+            _SENT_CACHE[sentence] = out
+        return out
+
+    def _normalize_sentence_uncached(self, sentence: str) -> str:
         sentence = traditional_to_simplified(sentence)
         sentence = fullwidth_to_halfwidth(sentence)
 
