@@ -283,17 +283,40 @@ def create_app(
                     if wire_format == "mulaw24k"
                     else ("pcm16", "mulaw8k")
                 )
-                await asyncio.to_thread(
-                    lambda: warmup(
-                        batch_sizes=tuple(sorted({1, batch_size})),
-                        token_sizes=(64, 256),
-                        frame_sizes=(256, 512),
-                        formats=fmts,
-                        absorb=True,
-                        narrow=True,
-                    )
+                staged = getattr(
+                    manager.pipeline.synthesizer, "warmup_staged", None
                 )
-                logger.info("warmup complete")
+                if callable(staged):
+                    # restart-optimized: primary program sync (traffic
+                    # can flow after ONE executable load), rest of the
+                    # inventory warms on a background thread — shapes pad
+                    # to the primary bucket until it lands
+                    pri_s, _ = await asyncio.to_thread(
+                        lambda: staged(
+                            batch_sizes=tuple(sorted({1, batch_size})),
+                            token_sizes=(64, 256),
+                            frame_sizes=(256, 512),
+                            formats=fmts,
+                            absorb=True,
+                            narrow=True,
+                        )
+                    )
+                    logger.info(
+                        "primary program warm in %.1fs; background "
+                        "warmup running", pri_s,
+                    )
+                else:
+                    await asyncio.to_thread(
+                        lambda: warmup(
+                            batch_sizes=tuple(sorted({1, batch_size})),
+                            token_sizes=(64, 256),
+                            frame_sizes=(256, 512),
+                            formats=fmts,
+                            absorb=True,
+                            narrow=True,
+                        )
+                    )
+                    logger.info("warmup complete")
         await manager.start()
         app["service_manager"] = manager
         logger.info("TTS service started")

@@ -323,6 +323,77 @@ def _stress_lts(word: str, ipa: str) -> str:
     return ipa[:target] + PRIMARY_STRESS + ipa[target:]
 
 
+def _restress_anchor(ipa: str, anchor, back: int) -> str:
+    """Force primary stress relative to the LAST occurrence of the
+    phoneme sequence ``anchor``: ``back`` = which vowel nucleus before
+    the anchor start gets the stress (1 = nearest; 0 = the anchor's own
+    first token). Anchoring on decoded phonemes (not a fixed count from
+    the end) survives schwa-presence variation in the decode."""
+    from .lts_model import split_phonemes, strip_stress
+
+    phones = split_phonemes(ipa)
+    stripped = [strip_stress(p) for p in phones]
+    k = len(anchor)
+    start = None
+    for i in range(len(stripped) - k, -1, -1):
+        if tuple(stripped[i:i + k]) == tuple(anchor):
+            start = i
+            break
+    if start is None:
+        return ipa
+    if back == 0:
+        target = start
+    else:
+        nuclei = [
+            i for i in range(start)
+            if stripped[i][:1] in IPA_VOWELS
+        ]
+        if len(nuclei) < back:
+            return ipa
+        target = nuclei[-back]
+    if not stripped[target][:1] in IPA_VOWELS:
+        return ipa
+    out = []
+    for i, p in enumerate(phones):
+        core = p.lstrip("ˈˌ")
+        if i == target:
+            out.append(PRIMARY_STRESS + core)
+        elif p.startswith("ˈ"):
+            out.append("ˌ" + core)
+        else:
+            out.append(p)
+    return "".join(out)
+
+
+def _restress(ipa: str, n_from_end: int) -> str:
+    """Force primary stress onto the n_from_end-th vowel nucleus
+    (1 = last). Used to OVERRIDE the trained LTS model's stress when the
+    spelling carries a deterministic stress suffix (-ic family, -ity):
+    the model places stress statistically and is often wrong on rare
+    words (saxophonic -> sˈæksəfˌOnɪk), while these suffixes fix stress
+    by rule (sˌæksəfˈɑnɪk). Any prior primary mark demotes to secondary."""
+    from .lts_model import split_phonemes, strip_stress
+
+    phones = split_phonemes(ipa)
+    nuclei = [
+        i for i, p in enumerate(phones)
+        if strip_stress(p)[:1] in IPA_VOWELS
+    ]
+    if len(nuclei) < n_from_end:
+        return ipa
+    target = nuclei[-n_from_end]
+    out = []
+    for i, p in enumerate(phones):
+        core = p.lstrip("ˈˌ")
+        if i == target:
+            out.append(PRIMARY_STRESS + core)
+        elif p.startswith("ˈ"):
+            out.append("ˌ" + core)
+        else:
+            out.append(p)
+    return "".join(out)
+
+
 def _append_plural(ipa: str) -> str:
     if ipa.endswith(_SIBILANT_END):
         return ipa + "əz"
@@ -400,7 +471,7 @@ class EnglishG2P:
         ("ment", "mənt"), ("ness", "nəs"), ("hood", "hˌʊd"),
         ("ship", "ʃˌɪp"), ("less", "ləs"), ("like", "lˌaɪk"),
         ("wise", "wˌaɪz"), ("ful", "fəl"), ("ish", "ɪʃ"), ("est", "əst"),
-        ("ly", "li"),
+        ("ly", "li"), ("ling", "lɪŋ"), ("let", "lət"), ("dom", "dəm"),
     ]
 
     # function words never act as morphological stems ("shed" is not
@@ -564,11 +635,14 @@ class EnglishG2P:
                     if ps.endswith(suffix_ipa[0]) and suffix_ipa[0] in "ln":
                         return ps + suffix_ipa[1:]
                     return ps + suffix_ipa
-        # compound second elements that reduce their vowel (gold:
-        # bellman -> bˈɛlmən, Oakland -> ˈOklənd)
+        # compound second elements (gold: bellman -> bˈɛlmən reduces;
+        # -land compounds mostly KEEP the full vowel — wetland wˈɛtlˌænd,
+        # farmland fˈɑɹmlˌænd — with the reduced handful (woodland,
+        # highland, place names like Oakland/England) carried as core
+        # lexicon entries instead of a rule)
         for suffix, suffix_ipa in (
             ("woman", "wˌʊmən"), ("women", "wˌɪmən"), ("man", "mən"),
-            ("men", "mən"), ("land", "lənd"),
+            ("men", "mən"), ("land", "lˌænd"),
         ):
             if lower.endswith(suffix) and len(lower) - len(suffix) >= 3:
                 ps = stem(lower[: -len(suffix)])
@@ -634,7 +708,17 @@ class EnglishG2P:
         derived = self._derive(lower)
         if derived is not None:
             return self._accent(derived, lower)
-        return self._accent(self._oov(lower), lower)
+        return self._accent(
+            self._suffix_restress(lower, self._oov(lower)), lower
+        )
+
+    def _suffix_restress(self, lower: str, ipa: str) -> str:
+        """Deterministic suffix stress on OOV decodes (lexicon/derive
+        outputs carry correct stress already and are not touched)."""
+        for suf, anchor, back in self._SUFFIX_RESTRESS:
+            if lower.endswith(suf):
+                return _restress_anchor(ipa, anchor, back)
+        return ipa
 
     # inflectional/derivational endings strippable before letter-to-sound:
     # the LTS model is trained on base forms, so "galvanized" decodes as
@@ -664,7 +748,26 @@ class EnglishG2P:
         ("ological", "ˈɑdʒɪkəl"), ("ologist", "ˈɑlədʒɪst"),
         ("ology", "ˈɑlədʒi"), ("ography", "ˈɑɡɹəfi"),
         ("ometer", "ˈɑmətɚ"), ("ocracy", "ˈɑkɹəsi"),
-        ("ation", "ˈeɪʃən"),
+        ("ation", "ˈeɪʃən"), ("ition", "ˈɪʃən"), ("ution", "ˈuʃən"),
+        ("arium", "ˈɛɹiəm"), ("orium", "ˈɔɹiəm"), ("arian", "ˈɛɹiən"),
+        ("osis", "ˈoʊsɪs"), ("itis", "ˈaɪtɪs"),
+        ("ectomy", "ˈɛktəmi"), ("otomy", "ˈɑtəmi"),
+        ("escence", "ˈɛsəns"), ("escent", "ˈɛsənt"),
+        ("esque", "ˈɛsk"), ("icity", "ˈɪsəti"), ("ivity", "ˈɪvəti"),
+    )
+
+    # suffixes whose stress position is deterministic but whose phonemes
+    # come from the regular decode: AFTER the model ran, force primary
+    # onto the nucleus `back` nuclei before the last occurrence of the
+    # anchor phoneme sequence (the model places stress statistically and
+    # misses these; the rules are near-exceptionless: -ic words stress
+    # the syllable before -ic, -ity words the one before -ity)
+    _SUFFIX_RESTRESS = (
+        ("ically", ("ɪ", "k"), 1), ("ical", ("ɪ", "k"), 1),
+        ("ician", ("ɪ", "ʃ"), 0), ("icism", ("ɪ", "s"), 1),
+        ("ics", ("ɪ", "k"), 1), ("ic", ("ɪ", "k"), 1),
+        ("ities", ("t", "i"), 2), ("ity", ("t", "i"), 2),
+        ("ety", ("t", "i"), 2),
     )
 
     def _lts_word(self, lower: str) -> str:
@@ -673,11 +776,16 @@ class EnglishG2P:
         from .lts_model import get_model
 
         model = get_model()
+        pred = None
         if model is not None:
             pred = model.predict(lower)
-            if pred:
-                return _stress_lts(lower, pred)
-        return _stress_lts(lower, _lts(lower))
+        out = _stress_lts(lower, pred) if pred else \
+            _stress_lts(lower, _lts(lower))
+        # gold writes the word-final happY vowel as /i/, never /ɪ/
+        # (fundi fˈʌndi, meanie mˈini); align the decode convention
+        if out.endswith("ɪ") and lower[-1] in "iey":
+            out = out[:-1] + "i"
+        return out
 
     def _oov(self, lower: str, depth: int = 0) -> str:
         """Letter-to-sound with recursive affix stripping."""
