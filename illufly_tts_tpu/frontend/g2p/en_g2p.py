@@ -771,14 +771,23 @@ class EnglishG2P:
     )
 
     def _lts_word(self, lower: str) -> str:
-        """Single-word letter-to-sound: trained joint model first (with a
-        phonotactic sanity gate inside predict), hand rules as backstop."""
+        """Single-word letter-to-sound. Resolver chain, first hit wins
+        (each stage carries the shared phonotactic gate inside predict):
+        neural transformer (neural_lts.py) -> joint n-gram chunk model
+        (lts_model.py) -> hand letter rules (_lts). The neural model is
+        the TPU-era replacement for the reference's 93k-entry silver
+        lexicon (reference: english_g2p.py:160-170)."""
         from .lts_model import get_model
+        from .neural_lts import get_neural_model
 
-        model = get_model()
         pred = None
-        if model is not None:
-            pred = model.predict(lower)
+        neural = get_neural_model()
+        if neural is not None:
+            pred = neural.predict(lower)
+        if pred is None:
+            model = get_model()
+            if model is not None:
+                pred = model.predict(lower)
         out = _stress_lts(lower, pred) if pred else \
             _stress_lts(lower, _lts(lower))
         # gold writes the word-final happY vowel as /i/, never /ɪ/
@@ -787,8 +796,32 @@ class EnglishG2P:
             out = out[:-1] + "i"
         return out
 
+    def _neural_word(self, lower: str):
+        """Full-word neural LTS decode (stress-backstopped, happY-fixed),
+        or None when the model is absent or its decode fails the gate."""
+        from .neural_lts import get_neural_model
+
+        neural = get_neural_model()
+        if neural is None:
+            return None
+        pred = neural.predict(lower)
+        if not pred:
+            return None
+        out = _stress_lts(lower, pred)
+        if out.endswith("ɪ") and lower[-1] in "iey":
+            out = out[:-1] + "i"
+        return out
+
     def _oov(self, lower: str, depth: int = 0) -> str:
-        """Letter-to-sound with recursive affix stripping."""
+        """Letter-to-sound with recursive affix stripping.
+
+        Resolution order (each later stage is a strictly weaker source):
+        Latinate stress-suffix rules and strippable endings backed by a
+        LEXICON stem; then the full-word neural transformer (trained on
+        citation AND inflected forms, so whole-word decode beats gluing
+        phonemes onto a guessed stem — 'galvanized' whole beats
+        'galvane'+d); then stress-suffix rules with LTS-decoded stems,
+        stripped-stem recursion, and the n-gram/hand-rule word decode."""
         if depth < 2:
             for suffix, suffix_ipa in self._LTS_STRESS_SUFFIX:
                 if not lower.endswith(suffix) or \
@@ -796,8 +829,6 @@ class EnglishG2P:
                     continue
                 stem = lower[: -len(suffix)]
                 ps = LEXICON.get(stem) or LEXICON.get(stem + "e")
-                if ps is None and stem.isalpha():
-                    ps = self._lts_word(stem)
                 if ps:
                     if suffix == "ation" and ps.endswith("eɪt"):
                         ps = ps[:-3]
@@ -834,6 +865,23 @@ class EnglishG2P:
                 ps = LEXICON.get(cand)
                 if ps:
                     return attach(ps)
+        # whole-word neural decode before any guessed-stem recursion
+        neural = self._neural_word(lower)
+        if neural:
+            return neural
+        # Latinate stress suffixes with LTS-decoded stems
+        if depth < 2:
+            for suffix, suffix_ipa in self._LTS_STRESS_SUFFIX:
+                if not lower.endswith(suffix) or \
+                        len(lower) - len(suffix) < 3:
+                    continue
+                stem = lower[: -len(suffix)]
+                if stem.isalpha():
+                    ps = self._lts_word(stem)
+                    if ps:
+                        if suffix == "ation" and ps.endswith("eɪt"):
+                            ps = ps[:-3]
+                        return apply_stress(ps, -2) + suffix_ipa
         for _, attach, candidates in strip_candidates():
             for cand in candidates:
                 if not cand.isalpha():

@@ -73,6 +73,42 @@ def test_random_gold_accuracy(gold, g2p):
     )
 
 
+def test_derived_table_sample_accuracy(gold):
+    """Audit the GENERATED derived lexicon against the oracle: a seeded
+    500-row sample of en_derived.tsv rows that gold also carries must be
+    >=90% primary-accurate (round-5 task 2 criterion — the generator
+    shipped 'improved -> ˈɪmpɹɑvd' in round 4 because nothing sampled
+    its output)."""
+    import random as _random
+
+    from eval_en_oracle import gold_variants, primary_match
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..",
+        "illufly_tts_tpu", "frontend", "g2p", "data", "en_derived.tsv",
+    )
+    rows = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("#"):
+                continue
+            w, _, ipa = line.partition("\t")
+            if w in gold:
+                rows[w] = ipa
+    sample = _random.Random(20260820).sample(sorted(rows), 500)
+    misses = []
+    for w in sample:
+        refs = gold_variants(gold[w])
+        if not any(primary_match(rows[w], r) for r in refs):
+            misses.append((w, rows[w], refs[0]))
+    acc = 1 - len(misses) / len(sample)
+    assert acc >= 0.90, (
+        f"derived-table sample accuracy {acc:.3f} < 0.90; "
+        f"first misses: {misses[:15]}"
+    )
+
+
 def test_random_gold_accuracy_unseeded_holdout(gold, g2p):
     """Generalization guard: a second sample with a DIFFERENT seed must
     not collapse relative to the seeded sample — protects the seeded
