@@ -89,6 +89,30 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def measured_runs(synth, batches, runs=3, absorb=True, **kw):
+    """Run a throughput scenario ``runs`` times, absorbing the tunnel
+    drain BEFORE each run so queued background work never lands inside a
+    measured window, and report {median, min, max} x-realtime. One
+    10-iteration sample per round swung pinned b32 by -13% round-over-
+    round on identical device time (VERDICT r4 weak-5) — the median of
+    three is what the driver metric steers by."""
+    vals = []
+    for i in range(runs):
+        if absorb:
+            d = synth.absorb_drain()
+            if d and d > 1.0:
+                log(f"  pre-run drain {d:.1f}s")
+        audio_sec, elapsed = pipelined_throughput(synth, batches, **kw)
+        vals.append(audio_sec / elapsed)
+        log(f"  run {i + 1}/{runs}: {vals[-1]:.1f}x")
+    vals.sort()
+    return {
+        "median": round(vals[len(vals) // 2], 2),
+        "min": round(vals[0], 2),
+        "max": round(vals[-1], 2),
+    }
+
+
 def pipelined_throughput(synth, batches, depth=3, fmt="pcm16",
                          rate=None):
     """Run batches through the split-phase engine with `depth` in flight;
@@ -362,12 +386,10 @@ def main() -> None:
     first_call = time.perf_counter() - t0
     log(f"first call took {first_call:.2f}s")
 
-    log("scenario 1: pinned bucket, pipelined...")
-    audio_sec, elapsed = pipelined_throughput(
-        synth, [(texts, voices)] * iters
-    )
-    throughput = audio_sec / elapsed
-    rtf = elapsed / audio_sec
+    log("scenario 1: pinned bucket, pipelined (median of 3)...")
+    pinned = measured_runs(synth, [(texts, voices)] * iters)
+    throughput = pinned["median"]
+    rtf = 1.0 / throughput
 
     # ---- scenario 1b: telephony output (G.711 mu-law @8 kHz on device) -------
     # the pinned loop is transfer-bound (~20 MB int16 PCM per batch);
@@ -425,8 +447,19 @@ def main() -> None:
             out["achieved_tflops"] = round(fl / t / 1e12, 2)
             out["mfu"] = round(fl / t / 1e12 / PEAK_TFLOPS, 4)
         if by:
-            out["achieved_gbps"] = round(by / t / 1e9, 1)
-            out["hbm_frac"] = round(by / t / 1e9 / PEAK_GBPS, 4)
+            gbps = by / t / 1e9
+            out["achieved_gbps"] = round(gbps, 1)
+            out["hbm_frac"] = round(gbps / PEAK_GBPS, 4)
+            if gbps > PEAK_GBPS:
+                # XLA's "bytes accessed" counts every operand touch,
+                # including VMEM/cache-resident reuse — a frac > 1 means
+                # the byte model overcounts true HBM traffic for this
+                # stage (stage A's activations fit in VMEM), NOT that the
+                # chip beat its memory. Labeled per VERDICT r4 weak-6.
+                out["hbm_frac_note"] = (
+                    "bytes-accessed includes on-chip reuse; "
+                    "true HBM traffic is lower"
+                )
         return out
 
     roofline = {
@@ -455,10 +488,8 @@ def main() -> None:
         frame_sizes=(256, frames),
     )
     synth_mb.synthesize_batch(texts, voices)  # warm (picks 512)
-    audio_mb, elapsed_mb = pipelined_throughput(
-        synth_mb, [(texts, voices)] * iters
-    )
-    mb_throughput = audio_mb / elapsed_mb
+    multibucket = measured_runs(synth_mb, [(texts, voices)] * iters)
+    mb_throughput = multibucket["median"]
 
     # ---- scenario 3: end-to-end texts->wav (frontend included) ---------------
     log("scenario 3: end-to-end frontend+model...")
@@ -541,6 +572,8 @@ def main() -> None:
         "vs_baseline": round(throughput / 50.0, 3),
         "detail": {
             "rtf": round(rtf, 6),
+            "pinned_runs": pinned,
+            "multibucket_runs": multibucket,
             "multibucket_x_realtime": round(mb_throughput, 2),
             "mulaw8k_x_realtime": round(mulaw_throughput, 2),
             "mulaw24k_wire_x_realtime": round(wire_throughput, 2),
@@ -559,7 +592,7 @@ def main() -> None:
             "frame_bucket": frames,
             "phonemes_per_utt": len(text),
             "iters": iters,
-            "elapsed_s": round(elapsed, 3),
+            "runs_per_scenario": 3,
             "platform": jax.devices()[0].platform,
         },
     }

@@ -153,8 +153,14 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
               help="split long text into sentence segments")
 @click.option("--stream", is_flag=True,
               help="intra-utterance streaming decode: write audio chunks "
-                   "to the wav as the decoder renders them (first audio "
-                   "lands after one window, not the full utterance)")
+                   "to the wav as the decoder renders them (bit-exact "
+                   "mode by default — the full utterance renders before "
+                   "the first chunk; add --low-latency for windowed "
+                   "first-audio-after-one-window delivery)")
+@click.option("--low-latency", is_flag=True,
+              help="with --stream: windowed decode (exact=False) — first "
+                   "audio lands after one decode window at the cost of "
+                   "window-seam approximation vs the full render")
 @click.option("--timestamps", is_flag=True,
               help="also write word-level timestamps (from the duration "
                    "predictor's rendered alignment) to OUTPUT.json")
@@ -163,7 +169,8 @@ def serve(host, port, repo_id, voices_dir, device, batch_size, max_wait_time,
 @click.option("--pitch", default=1.0, type=float,
               help="F0 scale (1.0 = neutral; 0.25-4.0)")
 def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
-          zh_dict, en_dict, segment, stream, timestamps, british, pitch):
+          zh_dict, en_dict, segment, stream, low_latency, timestamps,
+          british, pitch):
     """Synthesize TEXT to a wav file (local, no server)."""
     _apply_device(device)
     if zh_dict:
@@ -177,7 +184,7 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
     from .pipeline import CachedTTSPipeline
 
     pipe = CachedTTSPipeline(repo_id=repo_id, voices_dir=voices_dir,
-                             british=british)
+                             device=device, british=british)
     if not pipe.synthesizer.is_voice_loaded(voice_id):
         logger.warning(
             "voice %s not found; using a synthetic random voice", voice_id
@@ -196,7 +203,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
         if timestamps:
             # stamps are known at dispatch — before any audio renders
             words, gen = pipe.stream_process_with_timestamps(
-                text, voice_id=voice_id, speed=speed, pitch=pitch
+                text, voice_id=voice_id, speed=speed, pitch=pitch,
+                exact=not low_latency,
             )
             import json as _json
 
@@ -210,7 +218,8 @@ def synth(text, output, voice_id, speed, repo_id, voices_dir, device,
             )
         else:
             gen = pipe.stream_process(text, voice_id=voice_id, speed=speed,
-                                      pitch=pitch)
+                                      pitch=pitch,
+                                      exact=not low_latency)
         for chunk in gen:
             if ttfa is None:
                 ttfa = _time.perf_counter() - t0

@@ -106,6 +106,12 @@ class Synthesizer:
         self._lock = threading.Lock()
         self._stage_a = {}
         self._stage_b = {}
+        # set when the first real batch has been served; warmup_staged's
+        # background pass waits on it so its compiles never contend with
+        # the first request (r4: a 62 s first call under a 7 s warmup —
+        # the bg thread's executable loads serialized against it on the
+        # tunneled chip)
+        self._first_serve = threading.Event()
         self.last_drain_s: Optional[float] = None
         from ..audio.telephony import design_decimation_fir
 
@@ -687,6 +693,7 @@ class Synthesizer:
                     clip.astype(np.float32) * 32767.0, -32767, 32767
                 )).astype(np.int16)
             out.append(clip)
+        self._first_serve.set()  # unblocks deferred background warmup
         return out
 
     def rendered_durations(self, handle: "DispatchHandle") -> np.ndarray:
@@ -1083,6 +1090,7 @@ class Synthesizer:
         formats: Sequence[str] = ("pcm16",),
         narrow: bool = False,
         absorb: bool = False,
+        defer_background: float = 120.0,
     ):
         """Restart-optimized warmup: compile the PRIMARY serving program
         (largest batch x token x frame bucket, first format) SYNCHRONOUSLY
@@ -1093,6 +1101,13 @@ class Synthesizer:
         is one executable load, not the whole inventory (VERDICT r3
         next-2: a warm restart paid the full ~8-executable tunnel
         round-trip serially with traffic blocked).
+
+        The background pass DOES NOT START until the first real batch has
+        been served (or ``defer_background`` seconds pass on an idle
+        server): on the tunneled chip its executable loads serialize
+        against execution, and round 4 measured a 62 s first call caused
+        entirely by that contention. First audio goes out through the
+        already-warm primary program; only then does the inventory widen.
 
         Returns ``(priority_seconds, background_thread)`` — join the
         thread in tests; servers just let it run."""
@@ -1140,14 +1155,21 @@ class Synthesizer:
 
         def _rest():
             try:
+                # hold until first audio is served so these compiles
+                # never race the first request over the tunnel
+                self._first_serve.wait(defer_background)
                 self.warmup(
                     batch_sizes=batch_sizes, token_sizes=token_sizes,
                     frame_sizes=frames, formats=formats,
                 )
-                (self.batch_buckets, self.token_buckets,
-                 self.frame_buckets) = full_buckets
             except Exception:
                 logger.exception("background warmup failed")
+            finally:
+                # ALWAYS restore the full inventory: a failed background
+                # pass must not pin serving to max-bucket padding forever
+                # (missing programs then compile lazily on first use)
+                (self.batch_buckets, self.token_buckets,
+                 self.frame_buckets) = full_buckets
 
         thread = threading.Thread(
             target=_rest, daemon=True, name="warmup-background"

@@ -524,7 +524,8 @@ class TTSPipeline:
         )
         fitted = self.synthesizer.rendered_durations(handle)[0]
         words = self._word_timestamps(normalized, ipa, fitted, handle.t_bucket)
-        return words, self._stream_chunks(handle, window_frames, halo_frames)
+        return words, self._stream_chunks(handle, window_frames,
+                                          halo_frames, exact)
 
     def batch_process(
         self,
