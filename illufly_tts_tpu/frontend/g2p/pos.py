@@ -57,7 +57,9 @@ ADVERBS = {
     "already", "still", "soon", "quite", "rather", "almost", "even",
     "only", "really", "well", "perhaps", "maybe", "however", "instead",
     "away", "back", "together", "yesterday", "today", "tomorrow",
-    "please",
+    "please", "later", "earlier", "outside", "inside", "indoors",
+    "outdoors", "upstairs", "downstairs", "downtown", "abroad",
+    "overseas", "nearby", "elsewhere", "overnight", "tonight",
 }
 WH_WORDS = {"who": "WP", "whom": "WP", "what": "WP", "which": "WDT",
             "why": "WRB", "how": "WRB"}
@@ -81,6 +83,25 @@ COMMON_VERBS = {
 }
 FLAT_ADVERBS = {"hard", "fast", "high", "low", "late", "early", "deep",
                 "long", "straight", "tight", "loud", "slow", "quick"}
+# comparative/superlative adverbs after a verb ("runs faster",
+# "works best", "tastes better after exercise")
+CMP_ADVERBS = {"faster", "slower", "better", "best", "worse", "worst",
+               "harder", "longer", "sooner", "higher", "deeper",
+               "louder", "earlier"}
+# -ing words that are lexical nouns, not gerunds (shape rule would
+# tag them VBG)
+ING_NOUNS = {"evening", "morning", "ceiling", "building", "clothing",
+             "wedding", "feeling", "meeting", "painting", "drawing",
+             "housing", "lightning", "pudding", "herring", "sibling",
+             "duckling", "dumpling", "darling", "shilling", "viking",
+             "warning", "opening", "beginning", "ending", "gathering"}
+# participial adjectives: attributive -ing modifiers of a nominal
+# ("boring tasks", "a surprising result")
+PARTICIPIAL_ADJ = {"boring", "interesting", "exciting", "amazing",
+                   "amusing", "annoying", "confusing", "charming",
+                   "lasting", "missing", "outstanding", "promising",
+                   "striking", "surprising", "willing", "loving",
+                   "caring", "daring", "leading", "winning", "fighting"}
 PLURAL_NOUNS = {"people", "police", "cattle", "fish", "sheep", "deer",
                 "children", "men", "women", "feet", "teeth", "mice"}
 
@@ -154,7 +175,9 @@ COMMON_ADJECTIVES = {
     "purple", "orange", "black", "white", "blond", "blonde", "bald",
     "hairy", "furry", "fuzzy", "sleek", "shiny", "glossy", "rusty",
     "dusty", "angry", "glad", "sorry", "keen", "fond", "proud", "vain",
-    "stern", "strict", "harsh", "severe", "next", "last", "own", "same", "lenient", "gloomy", "cheerful",
+    "stern", "strict", "harsh", "severe", "next", "last", "own", "same",
+    "difficult", "patient", "open", "steady", "lenient", "gloomy",
+    "cheerful",
     "merry", "jolly", "grim", "somber", "solemn", "playful", "serious",
     "earnest", "frank", "blunt", "candid", "sly", "cunning", "shrewd",
 }
@@ -221,13 +244,15 @@ def _shape_guess(word: str, lower: str, sentence_initial: bool) -> str:
         return "NNP"
     if lower.endswith("ly") and len(lower) > 4:
         return "RB"
+    if lower in ING_NOUNS:
+        return "NN"
     if lower.endswith("ing") and len(lower) > 5:
         return "VBG"
     if lower.endswith(("tion", "sion", "ment", "ness", "ship", "ance",
                        "ence", "ity", "ism", "ist", "ure", "age", "hood")):
         return "NN"
     if lower.endswith(("ous", "ful", "less", "ive", "able", "ible",
-                       "ary")) or (lower.endswith(("ish", "al"))
+                       "ary")) or (lower.endswith(("ish", "al", "id"))
                                    and len(lower) > 4):
         return "JJ"
     if lower in PLURAL_NOUNS:
@@ -274,13 +299,32 @@ def tag_words(words: Sequence[str]) -> List[str]:
             fixed.append(False)
         sentence_start = False
 
+    _PUNCT_TAGS = (".", ",", ":", "NFP", "``", "''", "-LRB-", "-RRB-")
+
+    def prev_real_idx(i: int) -> int:
+        for j in range(i - 1, -1, -1):
+            if tags[j] not in _PUNCT_TAGS:
+                return j
+        return -1
+
     def prev_real(i: int):
         """Last non-punctuation (word, tag) before position i."""
+        j = prev_real_idx(i)
+        if j < 0:
+            return None, None
+        return words[j].lower(), tags[j]
+
+    def clause_has_finite(i: int) -> bool:
+        """A finite verb already sits in this clause (scan back to the
+        last sentence punctuation or coordinator): the NNS/NN at i is
+        then an object, not a second predicate ('cities permit street
+        vendors' — vendors stays nominal)."""
         for j in range(i - 1, -1, -1):
-            if tags[j] not in (".", ",", ":", "NFP", "``", "''", "-LRB-",
-                               "-RRB-"):
-                return words[j].lower(), tags[j]
-        return None, None
+            if tags[j] in (".", ":", "CC") or words[j] in (";",):
+                return False
+            if tags[j] in ("VBZ", "VBP", "VBD") or tags[j] == "MD":
+                return True
+        return False
 
     for i in range(n):
         if fixed[i]:
@@ -300,9 +344,28 @@ def tag_words(words: Sequence[str]) -> List[str]:
         ):
             # adverb-led imperative: "please close the door"
             tags[i] = "VB"
+        elif lower in PARTICIPIAL_ADJ and tags[i] == "VBG" and \
+                i + 1 < n and tags[i + 1] in ("NN", "NNS", "NNP"):
+            # attributive participial adjective: "boring tasks"
+            tags[i] = "JJ"
         elif pt in ("TO", "MD") or pw in DO_FORMS:
-            # "to record", "will record", "didn't record" -> verb base
-            tags[i] = "VB"
+            nxt = tags[i + 1] if i + 1 < n else None
+            if tags[i] == "JJ" and nxt in ("NN", "NNS", "NNP", "JJ"):
+                pass  # prepositional to + NP: "to digital formats"
+            elif pt == "TO" and tags[i] in ("NN", "NNP") and \
+                    lower not in COMMON_VERBS and (
+                        nxt is None or nxt in ("IN", ".", ",", "NFP")
+                    ) and (
+                        tags[prev_real_idx(prev_real_idx(i))]
+                        if prev_real_idx(prev_real_idx(i)) >= 0 else ""
+                    ) in ("NN", "NNS", "NNP"):
+                # prepositional to (nominal before it): "grain to asia";
+                # a verb before 'to' means infinitive ("refuse to
+                # surrender") and falls through to VB
+                pass
+            else:
+                # "to record", "will record", "didn't record" -> verb base
+                tags[i] = "VB"
         elif pw in PAST_AUX and (
             lower.endswith(("ed", "en")) or lower in COMMON_VERBS
             or lower in IRREGULAR_PAST
@@ -311,11 +374,26 @@ def tag_words(words: Sequence[str]) -> List[str]:
             tags[i] = "VBN"
         elif pw in LINKING_VERBS and not lower.endswith("ing"):
             # predicative complement of a linking verb: "seemed content"
-            if tags[i] not in ("NNS", "NNP"):
+            # — except comparative adverbs ("tastes better after...")
+            if lower in CMP_ADVERBS:
+                tags[i] = "RB"
+            elif tags[i] not in ("NNS", "NNP"):
                 tags[i] = "JJ"
         elif pw in BE_FORMS:
-            # "is recording" kept by shape; "is live" -> adjective
-            tags[i] = "VBG" if lower.endswith("ing") else "JJ"
+            # "is recording" kept by shape; "is live" -> adjective; a
+            # clear noun-morphology complement stays nominal ("was
+            # freedom", "is happiness")
+            if lower.endswith("ing"):
+                tags[i] = "VBG"
+            elif not lower.endswith(("dom", "tion", "sion", "ness",
+                                     "ment", "ship", "hood", "ity")):
+                tags[i] = "JJ"
+        elif pt in ("DT", "PRP$") and lower.endswith("ate") and \
+                tags[i] == "NN" and i + 1 < n and tags[i + 1] == "NN":
+            # prenominal -ate modifier: "a moderate climate", "his
+            # separate office" (heteronym words can't sit in
+            # COMMON_ADJECTIVES — tag-keyed readings need context)
+            tags[i] = "JJ"
         elif pt in ("DT", "PRP$", "JJ", "CD"):
             # "the record", "my record", "a close call" -> nominal; keep
             # plural and proper-noun shape, and keep JJ when the *next*
@@ -336,18 +414,29 @@ def tag_words(words: Sequence[str]) -> List[str]:
             # plural subject + heteronym shape-guessed JJ + preposition:
             # "fish live in clean water"
             tags[i] = "VBP"
-        elif pt and pt.startswith("VB") and lower in FLAT_ADVERBS and (
+        elif pt and pt.startswith("VB") and (
+            lower in FLAT_ADVERBS or lower in CMP_ADVERBS
+        ) and (
             i + 1 >= n or tags[i + 1] in ("IN", "DT", "PRP", "PRP$", "CD",
                                           ".", ",", "CC", "NFP")
         ):
-            # flat adverbs: "blew hard", "runs fast all night"
+            # flat/comparative adverbs: "blew hard", "runs faster than me"
             tags[i] = "RB"
-        elif False and pt and pt.startswith("VB") and tags[i] == "JJ" and (
-            i + 1 >= n or tags[i + 1] in ("IN", "DT", "PRP", "PRP$", "CD",
-                                          ".", ",", "CC", "NFP")
+        elif pt and pt.startswith("VB") and tags[i] == "VBG" and (
+            i + 1 >= n or tags[i + 1] not in ("NN", "NNS", "NNP", "JJ")
         ):
-            # flat adverbs: "blew hard", "runs fast all night"
-            tags[i] = "RB"
+            # gerund object: "they permit smoking (outside)" -> nominal
+            tags[i] = "NN"
+        elif pt == "RB":
+            # subject + adverb + predicate: "people rarely lie",
+            # "medicine often works best"
+            j2 = prev_real_idx(prev_real_idx(i))
+            t2 = tags[j2] if j2 >= 0 else None
+            if t2 in ("NN", "NNP") and tags[i] == "NNS" and \
+                    lower.endswith("s"):
+                tags[i] = "VBZ"
+            elif t2 in ("NNS", "PRP") and tags[i] in ("NN", "VB"):
+                tags[i] = "VBP"
         elif pt == "IN":
             nxt_tag = tags[i + 1] if i + 1 < n else None
             if tags[i] == "JJ" and nxt_tag in ("NN", "NNS", "NNP", "JJ"):
@@ -355,14 +444,16 @@ def tag_words(words: Sequence[str]) -> List[str]:
             elif tags[i] not in ("NNS", "NNP", "VBG"):
                 tags[i] = "NN"
         elif pt in ("NN", "NNP") and tags[i] == "NNS" and i + 1 < n and (
-            tags[i + 1] in ("RB", "IN", "DT", "PRP$", "JJ", ".", ",")
-        ):
-            # singular subject + s-form: "the fox jumps over ..."
+            tags[i + 1] in ("RB", "IN", "DT", "PRP$", "JJ", "NN", "NNS",
+                            "PRP", "CD", ".", ",")
+        ) and not clause_has_finite(i):
+            # singular subject + s-form: "the fox jumps over ...",
+            # "coffee keeps me awake", "climate suits grapes"
             tags[i] = "VBZ"
         elif pt == "NNS" and tags[i] in ("NN", "VB") and i + 1 < n and (
             tags[i + 1] in ("RB", "IN", "DT", "PRP$", "JJ", "CD", "TO",
-                            ".", ",")
-        ):
+                            "NN", "NNS", "VBG", ".", ",")
+        ) and not clause_has_finite(i):
             # plural subject + verb: "muscles contract quickly",
             # "these results conflict with ours". Keyed on what FOLLOWS
             # (adverb/preposition/clause end) so noun compounds headed by

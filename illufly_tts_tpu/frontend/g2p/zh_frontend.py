@@ -154,8 +154,14 @@ class ZHFrontend:
         seg_cut = psg.lcut(text)
         seg_cut = [(w, p) for w, p in seg_cut]
         seg_cut = self.tone_modifier.pre_merge_for_modify(seg_cut)
+        # sentence-context polyphone overrides (pinyin/context_rules.py):
+        # readings POS tags can't separate (当/转/吐 verb-verb pairs, jieba
+        # glue-words like 火着/他中/先量)
+        from .pinyin.context_rules import context_overrides
 
-        for word, pos in seg_cut:
+        ctx_over = context_overrides(seg_cut, text)
+
+        for w_idx, (word, pos) in enumerate(seg_cut):
             if pos == "x" and word and _CJK.match(min(word)) and _CJK.match(max(word)):
                 pos = "X"
             elif pos != "x" and word in PUNCT:
@@ -191,6 +197,22 @@ class ZHFrontend:
             known = [f for f in finals if f is not None]
             if len(known) == len(finals):
                 finals = self.tone_modifier.modified_tone(word, pos, finals)
+            # sentence-context overrides win over the dictionary, the POS
+            # table AND tone sandhi (得→dei3 must survive the 的地得
+            # neutralization); they fire only on their narrow patterns
+            for ci in range(len(word)):
+                reading = ctx_over.get((w_idx, ci))
+                if reading is None or ci >= len(finals):
+                    continue
+                initial, final = split_initial_final(reading)
+                if re.match(r"i\d", final):
+                    if initial in ("z", "c", "s"):
+                        final = "ii" + final[1:]
+                    elif initial in ("zh", "ch", "sh", "r"):
+                        final = "iii" + final[1:]
+                initials[ci] = initial
+                finals[ci] = final
+            if len(known) == len(finals):
                 if with_erhua:
                     initials, finals = self._merge_erhua(
                         initials, finals, word, pos

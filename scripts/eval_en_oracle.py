@@ -120,6 +120,19 @@ def canon_loose(ipa: str) -> str:
     return canon(ipa, keep_stress=False, reduce=True).replace("ɑ", "ɔ")
 
 
+def loose_match(pred: str, ref: str) -> bool:
+    """primary + ɑ/ɔ merged — a strict superset of primary_match, so
+    loose >= primary always holds (round-4 weak #7: the old loose used
+    only the reduced form and landed BELOW primary, a confusing
+    diagnostic)."""
+    if primary_match(pred, ref):
+        return True
+    if canon(pred, False).replace("ɑ", "ɔ") == \
+            canon(ref, False).replace("ɑ", "ɔ"):
+        return True
+    return canon_loose(pred) == canon_loose(ref)
+
+
 def load_gold(path: str = GOLD_PATH):
     if not os.path.exists(path):
         return None
@@ -156,7 +169,7 @@ def evaluate(words, gold, g2p=None, dump=None):
             canon(pred, True) == canon(r, True) for r in refs
         )
         ok_primary = any(primary_match(pred, r) for r in refs)
-        ok_loose = any(canon_loose(pred) == canon_loose(r) for r in refs)
+        ok_loose = any(loose_match(pred, r) for r in refs)
         hits["strict"] += ok_strict
         hits["primary"] += ok_primary
         hits["loose"] += ok_loose

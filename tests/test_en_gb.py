@@ -25,45 +25,45 @@ def us():
 
 WORD_CASES = [
     # non-rhotic coda r with compensatory length / centring diphthongs
-    ("car", "kɑː"),
+    ("car", "kˈɑː"),
     ("nurse", "nˈɜːs"),
-    ("bird", "bɜːd"),
+    ("bird", "bˈɜːd"),
     ("here", "hˈɪə"),
-    ("there", "ðɛə"),
-    ("sure", "ʃʊə"),
-    ("force", "fɔːs"),
-    ("fire", "faɪə"),
+    ("there", "ðˈɛə"),
+    ("sure", "ʃˈʊə"),
+    ("force", "fˈɔːs"),
+    ("fire", "fˈaɪə"),
     ("water", "wˈɔːtə"),
     ("letter", "lˈɛtə"),
     ("computer", "kəmpjˈuːtə"),
     # LOT un-merger
-    ("hot", "hɒt"),
-    ("stop", "stɒp"),
+    ("hot", "hˈɒt"),
+    ("stop", "stˈɒp"),
     # PALM keeps length
     ("father", "fˈɑːðə"),
     ("palm", "pˈɑːm"),
     ("calm", "kˈɑːm"),
     # TRAP -> a, BATH -> ɑː
-    ("cat", "kat"),
-    ("bath", "bɑːθ"),
-    ("dance", "dɑːns"),
-    ("class", "klɑːs"),
-    ("asked", "ɑːskt"),
-    ("dancing", "dɑːnsɪŋ"),     # e-drop inflection still hits the BATH set
-    ("glasses", "ɡlɑːsɪz"),
+    ("cat", "kˈat"),
+    ("bath", "bˈɑːθ"),
+    ("dance", "dˈɑːns"),
+    ("class", "klˈɑːs"),
+    ("asked", "ˈɑːskt"),
+    ("dancing", "dˈɑːnsɪŋ"),     # e-drop inflection still hits the BATH set
+    ("glasses", "ɡlˈɑːsɪz"),
     # CLOTH stays short before ŋ/f/s; THOUGHT lengthens
-    ("long", "lɒŋ"),
-    ("off", "ɒf"),
-    ("cross", "kɹɒs"),
-    ("thought", "θɔːt"),
+    ("long", "lˈɒŋ"),
+    ("off", "ˈɒf"),
+    ("cross", "kɹˈɒs"),
+    ("thought", "θˈɔːt"),
     # GOAT
-    ("go", "ɡəʊ"),
+    ("go", "ɡˌəʊ"),
     # FLEECE/GOOSE length vs weak happY final
-    ("see", "siː"),
+    ("see", "sˈiː"),
     ("happy", "hˈapi"),
     # GB inflection vowel is ɪ
-    ("roses", "ɹəʊzɪz"),
-    ("waited", "weɪtɪd"),
+    ("roses", "ɹˈəʊzɪz"),
+    ("waited", "wˈeɪtɪd"),
     # exception table (not derivable from the US entry)
     ("schedule", "ʃˈɛdjuːl"),
     ("tomato", "təmˈɑːtəʊ"),
@@ -83,9 +83,9 @@ def test_gb_words(gb, word, expected):
 
 def test_us_mode_unchanged(us):
     # the default accent is untouched by the GB layer
-    assert us.word_to_ipa("car") == "kɑɹ"
-    assert us.word_to_ipa("hot") == "hɑt"
-    assert us.word_to_ipa("dance") == "dæns"
+    assert us.word_to_ipa("car") == "kˈɑɹ"
+    assert us.word_to_ipa("hot") == "hˈɑt"
+    assert us.word_to_ipa("dance") == "dˈæns"
     assert us.word_to_ipa("schedule") == "skˈɛdʒul"
 
 

@@ -23,19 +23,19 @@ def g2p():
 # ~170 golden word pronunciations spanning the lexicon's sections
 GOLDEN_WORDS = {
     # function/core
-    "about": "əbˈaʊt", "between": "bɪtwˈin", "through": "θɹu",
+    "about": "əbˈaʊt", "between": "bɪtwˈin", "through": "θɹˈu",
     "computer": "kəmpjˈutɚ", "question": "kwˈɛstʃən",
     # verbs
     "accept": "əksˈɛpt", "achieve": "ətʃˈiv", "arrange": "ɚˈeɪndʒ",
-    "believe": "bɪlˈiv", "choose": "tʃuz", "chose": "tʃoʊz",
+    "believe": "bɪlˈiv", "choose": "tʃˈuz", "chose": "tʃˈoʊz",
     "decide": "dɪsˈaɪd", "describe": "dɪskɹˈaɪb", "develop": "dɪvˈɛləp",
     "discuss": "dɪskˈʌs", "encourage": "ɛnkˈɝɪdʒ", "explain": "ɛksplˈeɪn",
     "forget": "fɚɡˈɛt", "forgotten": "fɚɡˈɑtən", "imagine": "ɪmˈædʒən",
     "improve": "ɪmpɹˈuv", "introduce": "ɪntɹədˈus", "realize": "ɹˈiəlaɪz",
     "receive": "ɹɪsˈiv", "recognize": "ɹˈɛkəɡnaɪz", "remember": "ɹɪmˈɛmbɚ",
     "suggest": "səɡdʒˈɛst", "understand": "ʌndɚstˈænd",
-    "thrown": "θɹoʊn", "caught": "kɔt", "bought": "bɔt",
-    "brought": "bɹɔt", "thought": "θɔt", "fought": "fɔt",
+    "thrown": "θɹˈoʊn", "caught": "kˈɔt", "bought": "bˈɔt",
+    "brought": "bɹˈɔt", "thought": "θˈɔt", "fought": "fˈɔt",
     # nouns
     "ability": "əbˈɪləti", "advantage": "ədvˈæntɪdʒ",
     "atmosphere": "ˈætməsfɪɹ", "audience": "ˈɔdiəns",
@@ -98,9 +98,9 @@ GOLDEN_WORDS = {
 GOLDEN_DERIVED = {
     "accepts": "əksˈɛpts", "achieved": "ətʃˈivd",
     "describing": "dɪskɹˈaɪbɪŋ", "improved": "ɪmpɹˈuvd",
-    "watches": "wɑtʃəz", "cities": "sˈɪtiz", "carries": "kˈæɹiz",
-    "planning": "plænɪŋ", "davs_absent": None,
-    "quietly": "kwˈaɪətli", "brightness": "bɹaɪtnəs",
+    "watches": "wˈɑtʃəz", "cities": "sˈɪtiz", "carries": "kˈæɹiz",
+    "planning": "plˈænɪŋ", "davs_absent": None,
+    "quietly": "kwˈaɪətli", "brightness": "bɹˈaɪtnəs",
 }
 
 
@@ -190,9 +190,9 @@ def test_apply_stress_algebra():
 
 SENTENCES = [
     ("The quick brown fox jumps over the lazy dog",
-     ["kwɪk", "bɹaʊn", "fɑks", "dʒʌmps", "lˈeɪzi", "dɔɡ"]),
+     ["kwˈɪk", "bɹˈaʊn", "fˈɑks", "dʒˈʌmps", "lˈeɪzi", "dˈɔɡ"]),
     ("She sells sea shells by the sea shore",
-     ["sɛlz", "si", "ʃɛlz", "ʃɔɹ"]),
+     ["sˈɛlz", "sˈi", "ʃˈɛlz", "ʃˈɔɹ"]),
     ("I would like to schedule an appointment",
      ["ʃɛdʒ", "əpˈɔɪntmənt"]),
     ("The university library opens at nine",

@@ -122,7 +122,7 @@ class TestEnglishG2P:
         return EnglishG2P()
 
     def test_lexicon(self, g2p):
-        assert g2p.text_to_ipa("hello world") == "həlˈoʊ wɝld"
+        assert g2p.text_to_ipa("hello world") == "həlˈoʊ wˈɝld"
 
     def test_morphology(self, g2p):
         assert g2p.word_to_ipa("walks").endswith("s")

@@ -117,6 +117,36 @@ the/F wealthy/J merchant/N donated/V generous/J sums/N
 bitter/J medicine/N often/R works/V best/R
 the/F small/J boat/N drifted/V toward/F the/F distant/J island/N slowly/R
 the/F careless/J driver/N ignored/V the/F warning/N signs/N
+the/F protest/N drew/V huge/J crowds/N downtown/R
+workers/N protest/V against/F unfair/J wages/N
+his/F conduct/N shocked/V the/F entire/J committee/N
+they/F conduct/V experiments/N in/F the/F lab/N
+the/F permit/N expired/V last/J week/N
+cities/N permit/V street/N vendors/N in/F summer/N
+steady/J progress/N pleased/V the/F board/N
+students/N progress/V quickly/R with/F practice/N
+a/F sharp/J increase/N in/F prices/N followed/V
+firms/N increase/V wages/N every/F year/N
+the/F transfer/N was/V approved/V yesterday/R
+banks/N transfer/V funds/N overnight/R
+musicians/N perfect/V their/F craft/N through/F practice/N
+the/F subject/N of/F the/F essay/N was/V freedom/N
+kings/N subject/V their/F rivals/N to/F harsh/J rules/N
+an/F invalid/J ticket/N blocks/V entry/N
+the/F object/N on/F the/F table/N sparkled/V
+lawyers/N object/V to/F the/F ruling/N
+the/F rebel/N hid/V in/F the/F hills/N
+teenagers/N rebel/V against/F strict/J rules/N
+an/F estimate/N of/F the/F cost/N arrived/V
+engineers/N estimate/V the/F load/N carefully/R
+his/F separate/J office/N stayed/V locked/J
+referees/N separate/V the/F fighting/J players/N
+the/F graduate/N found/V a/F good/J job/N
+students/N graduate/V every/F spring/N
+a/F moderate/J climate/N suits/V grapes/N
+leaders/N moderate/V the/F debate/N tonight/R
+the/F compound/N contains/V two/F buildings/N
+problems/N compound/V under/F stress/N
 """
 
 
@@ -139,7 +169,7 @@ _FAMILY = {"VERB": "V", "NOUN": "N", "ADJ": "J", "ADV": "R", None: "F"}
 def test_pos_battery_size():
     sents = _parse_battery()
     n = sum(len(s) for s in sents)
-    assert n >= 500, n
+    assert n >= 650, n
 
 
 def test_pos_battery_accuracy():
@@ -157,7 +187,7 @@ def test_pos_battery_accuracy():
             else:
                 errors.append((word, want, got, tag, " ".join(words)))
     acc = correct / total
-    assert acc >= 0.95, (acc, errors[:25])
+    assert acc >= 0.995, (acc, errors[:25])  # measured 1.000 (round 5)
 
 
 def test_heteronym_inventory_size():
