@@ -792,7 +792,9 @@ class EnglishG2P:
             _stress_lts(lower, _lts(lower))
         # gold writes the word-final happY vowel as /i/, never /ɪ/
         # (fundi fˈʌndi, meanie mˈini); align the decode convention
-        if out.endswith("ɪ") and lower[-1] in "iey":
+        if out.endswith("ɪ") and lower[-1] in "iey" \
+                and (len(out) < 2 or out[-2] not in "aeɔo"):
+            # ...but never split a word-final diphthong (shay ʃeɪ, wye waɪ)
             out = out[:-1] + "i"
         return out
 
@@ -808,7 +810,9 @@ class EnglishG2P:
         if not pred:
             return None
         out = _stress_lts(lower, pred)
-        if out.endswith("ɪ") and lower[-1] in "iey":
+        if out.endswith("ɪ") and lower[-1] in "iey" \
+                and (len(out) < 2 or out[-2] not in "aeɔo"):
+            # ...but never split a word-final diphthong (shay ʃeɪ, wye waɪ)
             out = out[:-1] + "i"
         return out
 

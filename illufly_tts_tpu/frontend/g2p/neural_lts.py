@@ -36,7 +36,12 @@ import numpy as np
 _MISS = object()
 
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
-MODEL_PATH = os.path.join(_DATA_DIR, "neural_lts.npz")
+# ILLUFLY_NEURAL_LTS overrides the weights path (used by the trainer /
+# oracle eval to A/B candidate checkpoints without touching the package)
+MODEL_PATH = os.environ.get(
+    "ILLUFLY_NEURAL_LTS",
+    os.path.join(_DATA_DIR, "neural_lts.npz"),
+)
 
 # token ids shared with the trainer (kept in the npz's config JSON too)
 PAD, BOS, EOS = 0, 1, 2

@@ -280,6 +280,9 @@ def main():
     ap.add_argument("--core-dup", type=int, default=3,
                     help="duplicate core entries this many times per epoch "
                          "(derived inflections otherwise dominate 4:1)")
+    ap.add_argument("--avg-tail", type=int, default=8,
+                    help="average the last N epochs' weights and keep the "
+                         "better of (tail-average, best-single) on dev")
     ap.add_argument("--out", default=os.path.join(DATA, "neural_lts.npz"))
     args = ap.parse_args()
 
@@ -402,6 +405,7 @@ def main():
 
     best = -1.0
     best_params = None
+    tail = []  # last --avg-tail epochs' params, for weight averaging
     t0 = time.time()
     gkey = jax.random.PRNGKey(SEED + 1)
     n_used = steps_per_epoch * args.batch
@@ -416,10 +420,31 @@ def main():
         print(f"epoch {epoch + 1:3d}  loss {float(ep_loss):.4f}"
               f"  dev-word-acc {acc:.4f}  ({time.time() - t0:.0f}s)",
               flush=True)
+        host = jax.tree.map(np.asarray, params)
         if acc > best:
             best = acc
-            best_params = jax.tree.map(np.asarray, params)
+            best_params = host
+        if args.avg_tail > 1:
+            tail.append(host)
+            if len(tail) > args.avg_tail:
+                tail.pop(0)
     print(f"best dev word accuracy: {best:.4f}")
+
+    # tail weight averaging (Polyak-style over the cosine-decay plateau):
+    # averaged weights usually beat the single best epoch on exact match.
+    # Keep whichever scores higher on dev.
+    if args.avg_tail > 1 and len(tail) > 1:
+        avg = {
+            k: np.mean([t[k] for t in tail], axis=0)
+            for k in tail[0]
+        }
+        acc_avg = float(dev_accuracy(
+            jax.tree.map(jnp.asarray, avg)
+        ))
+        print(f"tail-avg({len(tail)}) dev word accuracy: {acc_avg:.4f}")
+        if acc_avg >= best:
+            best, best_params = acc_avg, avg
+    print(f"saving dev word accuracy: {best:.4f}")
 
     out = {k: v.astype(np.float16) for k, v in best_params.items()}
     out["__config__"] = np.frombuffer(

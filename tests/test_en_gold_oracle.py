@@ -60,6 +60,23 @@ def test_top5k_accuracy(gold, g2p):
     )
 
 
+def test_top5k_strict_accuracy(gold, g2p):
+    """Stress-SENSITIVE accuracy on the top-5k vocabulary (round-5 task 7:
+    strict >=0.80, from 0.670 in round 4 — closed by the monosyllable
+    stress convention + suffix restress work). Stress marks feed the
+    acoustic model (reference english_g2p.py:61-88 stress algebra), so
+    this tier is a real quality contract, not a diagnostic."""
+    words = [
+        w for w in top5k_words()
+        if w in gold and w.lower() not in SPECIAL_CASED
+    ]
+    r = evaluate(words, gold, g2p)
+    assert r["strict"] >= 0.80, (
+        f"top5k strict (stress-sensitive) accuracy {r['strict']:.3f} "
+        f"< 0.80 (n={r['n']})"
+    )
+
+
 def test_random_gold_accuracy(gold, g2p):
     """Primary accuracy on a seeded random 2k sample of the full gold
     vocabulary (round-3 measured 34.4%; round-4 target 70%). The floor
