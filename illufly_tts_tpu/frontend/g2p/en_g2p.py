@@ -869,8 +869,33 @@ class EnglishG2P:
                 ps = LEXICON.get(cand)
                 if ps:
                     return attach(ps)
-        # whole-word neural decode before any guessed-stem recursion
+        # whole-word neural decode before any guessed-stem recursion —
+        # EXCEPT when the word carries a Latinate stress suffix and the
+        # neural decode's own tail disagrees with that suffix's (near-
+        # exceptionless) realization: then the deterministic rule with a
+        # neural-decoded stem wins (kleptocracy: whole-word klˈɛptəkɹəsi
+        # has the -ocracy stress wrong; klɛpt + ˈɑkɹəsi is right). When
+        # the tails agree the whole-word decode keeps priority, because
+        # its stem is conditioned on the full word (procreation).
         neural = self._neural_word(lower)
+        if neural and depth < 2:
+            for suffix, suffix_ipa in self._LTS_STRESS_SUFFIX:
+                if not lower.endswith(suffix) or \
+                        len(lower) - len(suffix) < 3:
+                    continue
+                plain_tail = suffix_ipa.replace("ˈ", "").replace("ˌ", "")
+                plain_neural = neural.replace("ˈ", "").replace("ˌ", "")
+                if plain_neural.endswith(plain_tail):
+                    break  # neural tail is sound; trust the whole word
+                stem = lower[: -len(suffix)]
+                if not stem.isalpha():
+                    break
+                ps = self._lts_word(stem)
+                if ps:
+                    if suffix == "ation" and ps.endswith("eɪt"):
+                        ps = ps[:-3]
+                    return apply_stress(ps, -2) + suffix_ipa
+                break
         if neural:
             return neural
         # Latinate stress suffixes with LTS-decoded stems
