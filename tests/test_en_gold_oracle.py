@@ -54,9 +54,10 @@ def test_top5k_accuracy(gold, g2p):
     ]
     assert len(words) > 4000
     r = evaluate(words, gold, g2p)
-    assert r["primary"] >= 0.95, (
-        f"top5k primary accuracy {r['primary']:.3f} < 0.95 "
-        f"(n={r['n']}); first mismatches: {r['mismatches'][:10]}"
+    assert r["primary"] >= 0.97, (
+        f"top5k primary accuracy {r['primary']:.3f} < 0.97 "
+        f"(round-5 measured 0.984, n={r['n']}); "
+        f"first mismatches: {r['mismatches'][:10]}"
     )
 
 
@@ -71,20 +72,22 @@ def test_top5k_strict_accuracy(gold, g2p):
         if w in gold and w.lower() not in SPECIAL_CASED
     ]
     r = evaluate(words, gold, g2p)
-    assert r["strict"] >= 0.80, (
+    assert r["strict"] >= 0.81, (
         f"top5k strict (stress-sensitive) accuracy {r['strict']:.3f} "
-        f"< 0.80 (n={r['n']})"
+        f"< 0.81 (round-5 measured 0.831, n={r['n']})"
     )
 
 
 def test_random_gold_accuracy(gold, g2p):
     """Primary accuracy on a seeded random 2k sample of the full gold
-    vocabulary (round-3 measured 34.4%; round-4 target 70%). The floor
-    asserted here is the measured high-water mark — raise it with every
+    vocabulary (round-3 measured 34.4%; round-4 target 70%; round-5
+    measured 71.7% after the retrained d=288 neural LTS + suffix-tail
+    override + ~1,200 authored entries). The floor asserted here is the
+    measured high-water mark minus sampling slack — raise it with every
     lexicon/LTS improvement, never lower it."""
     words = random_sample(gold, 2000)
     r = evaluate(words, gold, g2p)
-    assert r["primary"] >= 0.58, (
+    assert r["primary"] >= 0.70, (
         f"random primary accuracy {r['primary']:.3f} regressed below the "
         f"measured floor (n={r['n']})"
     )
@@ -136,7 +139,7 @@ def test_random_gold_accuracy_unseeded_holdout(gold, g2p):
     rng = _random.Random(777)
     words = rng.sample(keys, 1000)
     r = evaluate(words, gold, g2p)
-    assert r["primary"] >= 0.55, (
+    assert r["primary"] >= 0.72, (
         f"holdout (seed 777) primary accuracy {r['primary']:.3f} — "
-        f"seeded-sample gains are not generalizing"
+        f"seeded-sample gains are not generalizing (round-5 measured 0.740)"
     )
