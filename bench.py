@@ -267,6 +267,10 @@ def warm_probe() -> None:
         "backend_attach_s": round(t_backend, 1),
         "synth_init_s": round(t_init, 1),
         "warmup_s": round(warmup_s, 1),
+        # warmup phase split: aot_s = cache-hit compile; load_exec_s =
+        # executable->device upload + inherited tunnel drain (the
+        # weather-dependent part of a restart on this tunneled chip)
+        **getattr(synth, "last_warmup_phases", {}),
         "first_call_s": round(first_call_s, 2),
     }), flush=True)
     t0 = time.perf_counter()
@@ -499,7 +503,12 @@ def main() -> None:
     # batches (frontend/pool.py — the GIL-bound frontend otherwise eats
     # the decode-ahead overlap window, VERDICT r3 next-7)
     pipe = TTSPipeline(synthesizer=synth, frontend_workers=4)
-    zh = "今天天气真不错，我们一起去公园散步，顺便讨论一下这个项目的进展情况。"
+    # text sized so its IPA is ~247 phonemes — the same per-row workload
+    # as scenarios 1/2 (250-phoneme IPA). The old 36-char text rendered
+    # only ~2/3 the audio per identical 512-frame decode, so the e2e/
+    # multibucket ratio measured utterance length, not host overhead
+    zh = ("今天天气真不错，我们一起去公园散步，顺便讨论一下这个项目的"
+          "进展情况。大家都觉得这个计划很有意思，明天继续努力。")
     e2e_iters = 8
     # distinct texts every batch: cache-miss regime, realistic serving
     e2e_batches = [
@@ -531,7 +540,12 @@ def main() -> None:
         nxt = next(e2e_it, None)
         if nxt is not None:
             in_flight.append(pipe.dispatch_texts(nxt, voices))
-        out = pipe.collect_batch(in_flight.popleft())
+        # collect in the serving scheduler's default on-device pcm16
+        # (runtime/scheduler.py::_fmt_for) — the real /tts path never
+        # moves f32 over the wire, and the f32 transfer is 2x the bytes
+        # on a tunnel where transfers serialize with compute
+        out = pipe.collect_batch(in_flight.popleft(),
+                                 output_format="pcm16")
         e2e_samples += sum(a.size for a in out)
     e2e_elapsed = time.perf_counter() - t0
     e2e_throughput = (e2e_samples / synth.sample_rate) / e2e_elapsed
@@ -562,6 +576,11 @@ def main() -> None:
         # utils/compile_cache.py) — the probe would measure nothing real
     else:
         log("warm restart probe (fresh process against the hot cache)...")
+        # absorb the parent's own tunnel queue first: the child otherwise
+        # inherits this process's post-scenario drain into its first
+        # execution and the restart number measures the parent's leftovers
+        pre_probe_drain = synth.absorb_drain(batch=batch, tokens=tokens)
+        log(f"  pre-probe drain {pre_probe_drain:.1f}s")
         warm = measure_warm_restart()
         log(f"warm restart: {warm}")
 

@@ -1151,7 +1151,38 @@ class Synthesizer:
             formats=tuple(formats[:1]),
             absorb=absorb,
         )
+        aot_s = _time.perf_counter() - t0
+        t1 = _time.perf_counter()
+        # EXECUTE the primary program once: AOT compile above only
+        # populates the cache — the first execution additionally pays the
+        # executable->device upload (~30 s over the tunnel), which must
+        # land here in warmup, not inside the first user request. The
+        # throwaway run must not trip the first-serve event (that would
+        # release the deferred background pass to race the real first
+        # request — the exact contention this staging exists to avoid).
+        real_first_serve = self._first_serve
+        self._first_serve = threading.Event()
+        try:
+            self.register_random_voice("__warmup__", seed=1)
+            bmax, tmax = max(batch_sizes), max(token_sizes)
+            fake = ("ni→xau↓" * max(1, (tmax - 2) // 8))[: tmax - 2]
+            self.synthesize_batch(
+                [fake] * bmax, ["__warmup__"] * bmax, fmt=formats[0]
+            )
+        except Exception:
+            logger.exception("warmup execution failed (continuing)")
+        finally:
+            self._first_serve = real_first_serve
         priority_s = _time.perf_counter() - t0
+        # phase breakdown for restart diagnostics: aot_s is the cache-hit
+        # compile; load_exec_s is the executable->device upload PLUS any
+        # tunnel drain inherited from a previous process's warmup burst
+        # (absorb_drain docstring) — on this environment the latter
+        # dominates and varies with external load
+        self.last_warmup_phases = {
+            "aot_s": round(aot_s, 1),
+            "load_exec_s": round(_time.perf_counter() - t1, 1),
+        }
 
         def _rest():
             try:

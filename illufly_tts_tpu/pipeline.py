@@ -98,12 +98,26 @@ class TTSPipeline:
                 os.environ.get("TTS_FRONTEND_WORKERS", "0") or 0
             )
         self._frontend_pool = None
-        if frontend_workers > 0:
+        # pooling needs spare cores: on a single-CPU host the workers
+        # timeshare the one core with the dispatch/collect loop and a
+        # 32-row batch measured ~860 ms pooled vs ~60 ms serial-warm
+        # (the serial path's memoization caches do the heavy lifting) —
+        # strictly worse, so the pool self-disables there
+        pool_force = os.environ.get("TTS_FRONTEND_POOL_FORCE") == "1"
+        n_cpu = os.cpu_count() or 1
+        if frontend_workers > 0 and (n_cpu >= 2 or pool_force):
             from .frontend.pool import FrontendPool
 
             self._frontend_pool = FrontendPool(
-                frontend_workers, default_language=default_language,
+                frontend_workers if pool_force
+                else min(frontend_workers, max(1, n_cpu - 1)),
+                default_language=default_language,
                 british=british,
+            )
+        elif frontend_workers > 0:
+            logger.info(
+                "frontend pool disabled: single-CPU host (serial path "
+                "with memoization is faster)"
             )
 
         self.synthesizer = synthesizer or Synthesizer(

@@ -5,8 +5,15 @@ The pool is ONLY an accelerator: pooled output must equal the serial
 per-row chain exactly, the pool must fall back to serial while warming
 or after a worker dies, and custom-dictionary state must replay into
 workers."""
+import os
+
 import numpy as np
 import pytest
+
+# the pipeline self-disables the pool on single-CPU hosts (pooling
+# there is strictly slower than the serial memoized path); these tests
+# exercise pool CORRECTNESS, so force construction regardless
+os.environ["TTS_FRONTEND_POOL_FORCE"] = "1"
 
 from illufly_tts_tpu.pipeline import TTSPipeline
 
