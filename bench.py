@@ -34,7 +34,9 @@ weight-determined.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import tempfile
 import time
 from collections import deque
 
@@ -521,34 +523,58 @@ def main() -> None:
            and not pipe._frontend_pool.ready
            and time.perf_counter() - t_wait < 60):
         time.sleep(0.2)  # let the worker pool finish warming
-    # split-phase decode-ahead, exactly the serving scheduler's schedule
-    # (runtime/scheduler.py::_run_batch_split): batch k+1's host frontend
-    # + stage A run while batch k decodes, and k's PCM transfer overlaps
-    # k+1's stage B (two decodes in flight)
-    t0 = time.perf_counter()
-    e2e_samples = 0
-    in_flight = deque()
-    e2e_it = iter(e2e_batches)
-    for _ in range(3):
-        nxt = next(e2e_it, None)
-        if nxt is None:
-            break
-        in_flight.append(pipe.dispatch_texts(nxt, voices))
-    while in_flight:
-        for h in list(in_flight)[:2]:
-            pipe.launch_decode(h)
-        nxt = next(e2e_it, None)
-        if nxt is not None:
+
+    def run_e2e(tag: str) -> float:
+        """Split-phase decode-ahead, exactly the serving scheduler's
+        schedule (runtime/scheduler.py::_run_batch_split): batch k+1's
+        host frontend + stage A run while batch k decodes, and k's PCM
+        transfer overlaps k+1's stage B (two decodes in flight).
+        Distinct texts per run keep the cache-miss regime honest."""
+        batches = [
+            [f"{tag}{i * batch + j}次测试。{zh}" for j in range(batch)]
+            for i in range(e2e_iters)
+        ]
+        t0 = time.perf_counter()
+        samples = 0
+        in_flight = deque()
+        it = iter(batches)
+        for _ in range(3):
+            nxt = next(it, None)
+            if nxt is None:
+                break
             in_flight.append(pipe.dispatch_texts(nxt, voices))
-        # collect in the serving scheduler's default on-device pcm16
-        # (runtime/scheduler.py::_fmt_for) — the real /tts path never
-        # moves f32 over the wire, and the f32 transfer is 2x the bytes
-        # on a tunnel where transfers serialize with compute
-        out = pipe.collect_batch(in_flight.popleft(),
-                                 output_format="pcm16")
-        e2e_samples += sum(a.size for a in out)
-    e2e_elapsed = time.perf_counter() - t0
-    e2e_throughput = (e2e_samples / synth.sample_rate) / e2e_elapsed
+        while in_flight:
+            for h in list(in_flight)[:2]:
+                pipe.launch_decode(h)
+            nxt = next(it, None)
+            if nxt is not None:
+                in_flight.append(pipe.dispatch_texts(nxt, voices))
+            # collect in the serving scheduler's default on-device pcm16
+            # (runtime/scheduler.py::_fmt_for) — the real /tts path never
+            # moves f32 over the wire, and the f32 transfer is 2x the
+            # bytes on a tunnel where transfers serialize with compute
+            out = pipe.collect_batch(in_flight.popleft(),
+                                     output_format="pcm16")
+            samples += sum(a.size for a in out)
+        return (samples / synth.sample_rate) / (time.perf_counter() - t0)
+
+    # same statistical treatment as scenarios 1/2: drain absorbed before
+    # each run, median of 3 (a queued drain landing inside the single
+    # e2e window is exactly what made r5's first artifact read 0.87)
+    e2e_vals = []
+    for i in range(3):
+        d = synth.absorb_drain(batch=batch, tokens=tokens)
+        if d > 1.0:
+            log(f"  pre-run drain {d:.1f}s")
+        e2e_vals.append(run_e2e(f"第{i}轮"))
+        log(f"  run {i + 1}/3: {e2e_vals[-1]:.1f}x")
+    e2e_vals.sort()
+    e2e_runs = {
+        "median": round(e2e_vals[1], 2),
+        "min": round(e2e_vals[0], 2),
+        "max": round(e2e_vals[-1], 2),
+    }
+    e2e_throughput = e2e_vals[1]
 
     # ---- single-request latency (batch 1, same utterance), post-warmup -------
     synth.synthesize_batch([text], ["bench_voice"], pcm16=True)
@@ -571,18 +597,18 @@ def main() -> None:
     ttfa = min(first_chunk_time() for _ in range(3))
 
     # ---- warm restart: full re-init in a fresh process, cache hot ------------
+    # Measured via re-exec (see --finalize below): while THIS process
+    # holds the tunneled chip, a second client's first execution queues
+    # behind it (measured: child first_call 57-292 s vs <1.1 s
+    # uncontended). exec tears down this jax client, releasing the chip,
+    # and the finalize stage then measures the restart honestly.
+    warm = {"warm_restart_s": None}
     if platform == "cpu":
-        warm = {"warm_restart_s": None}  # cache disabled on CPU (see
-        # utils/compile_cache.py) — the probe would measure nothing real
+        pass  # cache disabled on CPU (utils/compile_cache.py) — the
+        # probe would measure nothing real
     else:
-        log("warm restart probe (fresh process against the hot cache)...")
-        # absorb the parent's own tunnel queue first: the child otherwise
-        # inherits this process's post-scenario drain into its first
-        # execution and the restart number measures the parent's leftovers
         pre_probe_drain = synth.absorb_drain(batch=batch, tokens=tokens)
-        log(f"  pre-probe drain {pre_probe_drain:.1f}s")
-        warm = measure_warm_restart()
-        log(f"warm restart: {warm}")
+        log(f"pre-finalize drain {pre_probe_drain:.1f}s")
 
     result = {
         "metric": "audio_sec_per_sec_per_chip_b32",
@@ -597,6 +623,7 @@ def main() -> None:
             "mulaw8k_x_realtime": round(mulaw_throughput, 2),
             "mulaw24k_wire_x_realtime": round(wire_throughput, 2),
             "e2e_x_realtime": round(e2e_throughput, 2),
+            "e2e_runs": e2e_runs,
             "batch1_latency_s": round(b1_latency, 3),
             "ttfa_stream_s": round(ttfa, 3),
             "cold_start_s": round(cold_start, 1),
@@ -615,11 +642,50 @@ def main() -> None:
             "platform": jax.devices()[0].platform,
         },
     }
+    if platform == "cpu":
+        print(json.dumps(result))
+        return
+    # hand off to the finalize stage: exec replaces this process (its jax
+    # client and device allocations are torn down), the warm-restart probe
+    # then runs against a released chip, and finalize prints the one
+    # driver-facing JSON line
+    partial = os.path.join(
+        tempfile.gettempdir(), f"bench_partial_{os.getpid()}.json"
+    )
+    with open(partial, "w") as f:
+        json.dump(result, f)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable,
+             [sys.executable, os.path.abspath(__file__),
+              "--finalize", partial])
+
+
+def finalize(partial_path: str) -> None:
+    """Post-exec stage: measure the warm restart with no other client on
+    the chip, merge into the partial result, print the final JSON line.
+    This process never calls jax.devices(), so the probe subprocess is
+    the only TPU client during the measurement."""
+    with open(partial_path) as f:
+        result = json.load(f)
+    try:
+        os.unlink(partial_path)
+    except OSError:
+        pass
+    log("warm restart probe (fresh process, chip released)...")
+    warm = measure_warm_restart()
+    log(f"warm restart: {warm}")
+    result["detail"]["warm_restart_s"] = warm.get("warm_restart_s")
+    result["detail"]["warm_restart_detail"] = {
+        k: v for k, v in warm.items() if k != "warm_restart_s"
+    }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     if "--warm-probe" in sys.argv[1:]:
         warm_probe()
+    elif "--finalize" in sys.argv[1:]:
+        finalize(sys.argv[sys.argv.index("--finalize") + 1])
     else:
         main()
